@@ -1,0 +1,114 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute_force_topk: exact cosine top-k — broadcast the (small) query set
+  against the full corpus; the dot product stays JVM-side via
+  zip_with/aggregate (no Python in the hot path). At 100 TB the corpus side
+  streams partition-parallel; only the query set is broadcast.
+- lsh_topk: random-hyperplane LSH bucketing — queries only probe their own
+  bucket (plus optional multi-probe), turning the scan into a bucket-local
+  join. The hyperplanes are a deterministic md5-seeded matrix so results are
+  reproducible across retries/executors.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def _cosine(a: str, b: str):
+    """Column expr: cosine similarity of two array<double> columns, computed
+    with sequential double folds (bit-stable across partitionings)."""
+    dot = F.aggregate(F.zip_with(F.col(a), F.col(b), lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    na = F.aggregate(F.col(a), F.lit(0.0), lambda s, x: s + x * x)
+    nb = F.aggregate(F.col(b), F.lit(0.0), lambda s, x: s + x * x)
+    return dot / (F.sqrt(na) * F.sqrt(nb))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DataFrame[query_id, neighbor_id, rk] — exact cosine top-k, self excluded."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", _cosine("qv", "cv"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplane matrix (md5 counter-mode)."""
+    vals = []
+    i = 0
+    while len(vals) < dim * n_planes:
+        h = hashlib.md5(f"lsh-plane:{i}".encode()).digest()
+        for off in range(0, 16, 4):
+            vals.append(int.from_bytes(h[off : off + 4], "big") / 2**31 - 1.0)
+        i += 1
+    return np.array(vals[: dim * n_planes]).reshape(n_planes, dim)
+
+
+def lsh_bucket_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: sign-of-projection bucket per vector; queries only
+    score candidates in their own bucket. Bucket id is computed JVM-side as
+    a sum of sign bits over the broadcast plane matrix (array literals)."""
+    planes = _hyperplanes(dim, n_planes)
+
+    def bucket_expr(vec: str):
+        bits = []
+        for p in range(n_planes):
+            lit = F.array(*[F.lit(float(x)) for x in planes[p]])
+            proj = F.aggregate(
+                F.zip_with(F.col(vec), lit, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+            )
+            bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    ).withColumn("bucket", bucket_expr("cv"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).withColumn("bucket", bucket_expr("qv"))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", _cosine("qv", "cv"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "rk")
+    )

@@ -1,0 +1,66 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio decode libraries aren't in this container, so the decode step is
+a clearly-marked stub (operators/multimodal.py) — but the Spark-side
+plumbing (binary column, Arrow batch shape, mapInPandas schema, partition
+behavior) is real and oracle-checked: the payload here is the utf-8 encoding
+of the document text, and the extracted "metadata" (byte length, md5) is
+verifiable in SQL against the source text.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xmltoldmigration_spark.queries import register
+from xmltoldmigration_spark.tables import load_table
+
+
+@register(
+    "multimodal_binary_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+    survey_ref="training-data multimodal: binary column + mapInPandas metadata extract",
+)
+def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "payload_md5": pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                }
+            )
+
+    return with_payload.mapInPandas(extract, schema="doc_id long, n_bytes long, payload_md5 string")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=None,  # stubbed decode -> rows-only check
+    survey_ref="training-data multimodal: frame-sample plumbing over stubbed decoder",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xmltoldmigration_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("video/fake").alias("mime_type"),
+    )
+    return sample_frames(media, every_n_bytes=64)

@@ -1,0 +1,47 @@
+"""ANN / similarity-search queries over the `embeddings` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xmltoldmigration_spark.operators.similarity import brute_force_topk, lsh_bucket_topk
+from xmltoldmigration_spark.queries import register
+from xmltoldmigration_spark.tables import load_table
+
+K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, e.embedding::DOUBLE[]) AS sim
+      FROM q, embeddings e WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rk FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {K}
+    """,
+    survey_ref="training-data similarity: brute-force cosine top-k (baseline)",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return brute_force_topk(emb, queries, k=K)
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=None,  # approximate: no SQL oracle; recall vs brute force is unit-tested
+    survey_ref="training-data similarity: random-hyperplane LSH bucketed ANN (scale path)",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return lsh_bucket_topk(emb, queries, k=K, n_planes=6)
