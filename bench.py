@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., ...}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver-side collect). Set BENCH_SCALING=1 to additionally run the scaling
+probe (same job at local[8] vs local[32]) — that variant spawns two fresh
+JVMs, so it is opt-in.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# scale-meaningful subset (dedup_ngram_jaccard is deliberately excluded at
+# sf0.1: the exact inverted-index pair join is the quadratic baseline that
+# minhash_lsh exists to replace)
+HEADLINE = [
+    "q1_pricing_summary",
+    "j7_shuffle_join_revenue",
+    "j1_redirect_rewrite",
+    "a1_symmetric_completion",
+    "a2_preflabel_window",
+    "window_topk_orders",
+    "skew_salted_two_phase_agg",
+    "g1_connected_components",
+    "g2_representative_rewrite",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "text_token_count",
+    "text_quality_score",
+    "text_fingerprint",
+    "stream_tumbling_window_agg",
+    "stream_sessionization",
+    "multimodal_binary_metadata",
+]
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_queries(spark, names: list[str]) -> dict[str, float]:
+    from xmltoldmigration_spark.queries import registry
+
+    reg = registry()
+    out: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _force(reg[name].fn(spark, SF_DIR))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    from xmltoldmigration_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
+    # warm the JVM/parquet footers so per-query numbers measure the queries
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    t0 = time.perf_counter()
+    times = run_queries(spark, HEADLINE)
+    total = round(time.perf_counter() - t0, 3)
+
+    # KG pipeline throughput (triples/sec over the fixture corpus) if built
+    kg_extra = {}
+    try:
+        from xmltoldmigration_spark.kg.bench import bench_kg_pipeline
+
+        kg_extra = bench_kg_pipeline(spark)
+    except ImportError:
+        pass
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": CPUS,
+        **kg_extra,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -92,7 +92,9 @@ def test_rows_only_queries_run(spark, name):
 
     spec = registry()[name]
     sdf = spec.fn(spark, SF_DIR)
-    assert sdf.count() >= 0
+    # force FULL evaluation (count() would prune unreferenced UDF columns)
+    rows = sdf.collect()
+    assert len(rows) >= 0
     assert len(sdf.columns) > 0
 
 

@@ -23,19 +23,16 @@ from pyspark.sql import types as T
 
 def simhash64(text: str) -> int:
     """Deterministic 64-bit simhash of a whitespace-tokenized text."""
-    acc = np.zeros(64, dtype=np.int64)
     tokens = text.split()
     if not tokens:
         return 0
+    acc = np.zeros(64, dtype=np.int64)
     for tok in tokens:
-        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-        bits = (h >> np.arange(64)) & 1  # LSB-first bit vector
-        acc += np.where(bits == 1, 1, -1)
-    fp = 0
-    for i in range(64):
-        if acc[i] > 0:
-            fp |= 1 << i
-    return fp
+        digest = hashlib.md5(tok.encode("utf-8")).digest()[:8]
+        bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))  # 64 x {0,1}
+        acc += bits.astype(np.int64) * 2 - 1
+    out_bits = (acc > 0).astype(np.uint8)
+    return int.from_bytes(np.packbits(out_bits).tobytes(), "big")
 
 
 @F.pandas_udf(T.StringType())

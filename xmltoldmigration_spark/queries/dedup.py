@@ -146,7 +146,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="training-data dedup: n-gram Jaccard (inverted-index pair join)",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingle_df(spark, sf_dir)
+    sh = shingle_df(spark, sf_dir).localCheckpoint(eager=False)
     pairs = (
         sh.alias("x")
         .join(sh.alias("y"), (F.col("x.shingle") == F.col("y.shingle")) & (F.col("x.doc_id") < F.col("y.doc_id")))
@@ -166,7 +166,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="training-data dedup: MinHash+LSH (shingle->minhash->band->bucket join)",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = shingle_df(spark, sf_dir)
+    # materialize shingles once: reused by signature agg, exact-verify (both
+    # sides) and sizes — without this the scan+shingle runs 4x
+    sh = shingle_df(spark, sf_dir).localCheckpoint(eager=False)
     # 64 md5-derived hash functions; minhash signature = per-doc min of each
     hash_cols = [
         F.min(
@@ -176,22 +178,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"h{i}")
         for i in range(N_HASHES)
     ]
-    sig = sh.groupBy("doc_id").agg(*hash_cols)
-    # banding: 32 bands x 2 rows; band key = md5 of the band's signature slice
+    sig = sh.groupBy("doc_id").agg(*hash_cols).select(
+        "doc_id",
+        F.array(*[F.col(f"h{i}").cast("string") for i in range(N_HASHES)]).alias("sig"),
+    )
+    # banding: 32 bands x 2 rows, emitted in ONE pass via explode (a 32-way
+    # union would recompute the signature aggregation per branch)
     rows_per_band = N_HASHES // N_BANDS
-    band_entries = []
-    for b in range(N_BANDS):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_entries.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bucket"),
+    buckets = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}), b -> "
+                f"struct(b AS band, md5(concat_ws('_', slice(sig, b * {rows_per_band} + 1, {rows_per_band}))) AS bucket))"
             )
-        )
-    buckets = band_entries[0]
-    for e in band_entries[1:]:
-        buckets = buckets.union(e)
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     candidates = (
         buckets.alias("x")
         .join(
