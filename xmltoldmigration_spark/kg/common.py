@@ -1,0 +1,873 @@
+"""Shared record-local emission logic — the CommonMigration port surface.
+
+Pure Python over xml.etree.ElementTree; called by every per-type migrator
+inside the vectorized parse stage.  Reference: CommonMigration.java
+(2,196 LoC) — each helper cites the lines it re-expresses.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass, field
+
+from xmltoldmigration_spark.functions import lang as L
+from xmltoldmigration_spark.functions import text as T
+from xmltoldmigration_spark.kg.authority import Authority, get_authority
+from xmltoldmigration_spark.kg.model import (
+    ADM,
+    BDA,
+    BDG,
+    BDO,
+    BDR,
+    BDU,
+    BF,
+    RDF,
+    RDFS,
+    SKOS,
+    XSD,
+    Emitter,
+    FACET_EVENT,
+    FACET_IDENTIFIER,
+    FACET_LOG_ENTRY,
+    FACET_NAME,
+    FACET_NOTE,
+    RDF_TYPE,
+    RecordResult,
+    boolean,
+    integer,
+    iri,
+    lit,
+)
+
+EWTS = "bo-x-ewts"
+RDF_VALUE = RDF + "value"
+
+
+# ---------------------------------------------------------------- XML utils
+
+def elems(e: ET.Element, ns: str, tag: str):
+    """getElementsByTagNameNS — all descendants (DOM semantics)."""
+    return list(e.iter("{%s}%s" % (ns, tag)))
+
+
+def children(e: ET.Element, ns: str, tag: str):
+    """CommonMigration.getChildrenByTagName — direct children only."""
+    return [c for c in e if c.tag == "{%s}%s" % (ns, tag)]
+
+
+def text_of(e: ET.Element) -> str:
+    return "".join(e.itertext())
+
+
+def attr(e: ET.Element, name: str, default: str = "") -> str:
+    return e.get(name, default)
+
+
+def parse_xml(content: str) -> ET.Element:
+    return ET.fromstring(content)
+
+
+# ---------------------------------------------------------------- context
+
+@dataclass
+class Ctx:
+    """Per-record migration context: authority tables + side outputs."""
+
+    auth: Authority = field(default_factory=get_authority)
+    result: RecordResult = field(default_factory=RecordResult)
+    # per-graph logDate -> logEntry node (same-date merge for I* graphs,
+    # CommonMigration.java:1062-1070)
+    log_by_date: dict = field(default_factory=dict)
+
+    def error(self, etype: str, rid: str, sub_rid: str, prop: str, msg: str):
+        self.result.errors.append((etype, rid, sub_rid, prop, msg))
+
+    def link(self, src: str, prop: str, dst: str):
+        self.result.links.append((src, prop, dst))
+
+    def symmetric(self, prop: str, src: str, dst: str, gender: str | None):
+        self.result.symmetric.append((prop, src, dst, gender))
+
+
+# ---------------------------------------------------------------- roots
+
+GIT_REPO_BY_TYPE = {
+    # adm:gitRepo constants per entity type (MigrationApp type order)
+    "corporation": "GR0001",
+    "lineage": "GR0002",
+    "office": "GR0003",
+    "outline": "GR0004",
+    "person": "GR0006",
+    "place": "GR0007",
+    "topic": "GR0008",
+    "work": "GR0012",
+    "item": "GR0011",
+    "product": "GR0014",
+    "etext": "GR0009",
+}
+
+
+def create_root(em: Emitter, rid_iri: str, type_iri: str) -> str:
+    """bdrc-libraries Models.createRoot as observed in every golden:
+    `bdr:RID a <type> ; :isRoot true`."""
+    em.add(rid_iri, RDF_TYPE, iri(type_iri))
+    em.add(rid_iri, BDO + "isRoot", boolean(True))
+    return rid_iri
+
+
+def create_admin_root(em: Emitter, main: str) -> str:
+    """Models.createAdminRoot: bda:RID sidecar (golden P1331.ttl:43-51)."""
+    local = main[len(BDR):]
+    adm = BDA + local
+    em.add(adm, RDF_TYPE, iri(ADM + "AdminData"))
+    em.add(adm, ADM + "adminAbout", iri(main))
+    em.add(adm, ADM + "graphId", iri(BDG + local))
+    em.add(adm, BDO + "isRoot", boolean(True))
+    return adm
+
+
+def add_status(em: Emitter, adm: str, status: str) -> None:
+    """Models.addStatus: adm:status bda:Status<Capitalized>."""
+    if not status:
+        status = "released"
+    em.add(adm, ADM + "status", iri(BDA + "Status" + status[0].upper() + status[1:]))
+
+
+def add_released(em: Emitter, adm: str) -> None:
+    em.add(adm, ADM + "status", iri(BDA + "StatusReleased"))
+
+
+def finalize_graph(em: Emitter, adm: str, rtype: str) -> None:
+    """Environment metadata the reference writes on AdminData; excluded
+    from parity (FIXTURES.md §A.2) but kept for output fidelity."""
+    local = em.graph
+    em.add(adm, ADM + "facetIndex", integer(em.facet_index))
+    em.add(adm, ADM + "gitPath", lit(T.dst_shard(local) + "/" + local + ".trig"))
+    repo = GIT_REPO_BY_TYPE.get(rtype)
+    if repo:
+        em.add(adm, ADM + "gitRepo", iri(BDA + repo))
+
+
+# ---------------------------------------------------------------- literals
+
+def get_literal(
+    ctx: Ctx,
+    elem: ET.Element,
+    dflt: str,
+    property_hint: str,
+    rid: str,
+    sub_rid: str | None,
+    normalize: bool = True,
+):
+    """CommonMigration.getLiteral:2070-2134 -> (value, bcp47_tag) | None."""
+    value = text_of(elem).strip()
+    if value.startswith("tbrc"):
+        import re
+
+        value = re.sub(
+            r"tbrc holds digitally scanned images, tiffs and pdf files\s*;?:?\s*\d*\s*", "", value
+        )
+        value = re.sub(
+            r"scanned for preservation purposes? only; not for distribution\s*;?:?\s*\d*\s*",
+            "",
+            value,
+        )
+    value = T.normalize_string(value) if normalize else value.strip()
+    if not value:
+        return None
+    if "�" in value:
+        ctx.error("lang", rid, sub_rid or rid, property_hint,
+                  f"string contains invalid replacement character: `{value}`")
+    tag = L.get_bcp47(attr(elem, "lang"), attr(elem, "encoding"), dflt)
+    if tag is None:
+        tag = dflt
+    if tag == "bo":
+        value = L.normalize_tibetan(value)
+        if value and L.is_combining(value[0]):
+            ctx.error("lang", rid, sub_rid or rid, property_hint,
+                      f"Unicode string `{value}` starts with combining character")
+    if tag == "sa":
+        if "+" in value:
+            tag = "sa-x-ewts"
+        elif L.is_deva(value):
+            tag = "sa-Deva"
+        else:
+            tag = "sa-x-ndia"
+    if tag == EWTS:
+        if rid.startswith("W1FPL"):
+            tag = "en"
+        else:
+            if value.startswith("[") and value.endswith("]"):
+                value = "*" + value[1:-1].strip()
+            if L.ewts_has_warnings(value):
+                fixed = L.EwtsFixer.get_fixed(rid, value)
+                if fixed is None:
+                    if L.is_likely_english(value):
+                        tag = "en"
+                    else:
+                        value = L.normalize_ewts(value)
+                    ctx.error("ewts", rid, sub_rid or rid, property_hint,
+                              f"ewts conversion warnings for `{value}`")
+                elif fixed == "LNG":
+                    tag = L.guess_lang(value)
+                else:
+                    value = fixed
+            else:
+                value = L.normalize_ewts(value)
+    if tag == "zh":
+        tag = L.guess_zh_script(value) if L.is_hani(value) else "zh-latn-pinyin-x-ndia"
+    if tag == "zh-latn-pinyin" and not L.has_pinyin_diacritics(value):
+        tag = "zh-latn-pinyin-x-ndia"
+    return value, tag
+
+
+# ---------------------------------------------------------------- names
+
+def add_names(
+    ctx: Ctx,
+    em: Emitter,
+    root: ET.Element,
+    main: str,
+    ns: str,
+    guess_label: bool = True,
+    additional_name_prop: str | None = None,
+) -> bool:
+    """CommonMigration.addNames:1154-1195 — first name per 2-letter lang
+    wins skos:prefLabel, rest altLabel (A2)."""
+    label_done: dict[str, bool] = {}
+    res = False
+    for current in children(root, ns, "name"):
+        if not text_of(current).strip():
+            continue
+        lv = get_literal(ctx, current, EWTS, "name", _local(main), _local(main))
+        if lv is None:
+            continue
+        value, tag = lv
+        if guess_label:
+            lang2 = tag[:2]
+            if lang2 not in label_done:
+                em.add(main, SKOS + "prefLabel", lit(value, tag))
+                label_done[lang2] = True
+            else:
+                em.add(main, SKOS + "altLabel", lit(value, tag))
+        else:
+            em.add(main, RDFS + "label", lit(value, tag))
+        if additional_name_prop:
+            em.add(main, additional_name_prop, lit(value, tag))
+        res = True
+    return res
+
+
+def _local(iri_or_local: str) -> str:
+    return iri_or_local.rsplit("/", 1)[-1]
+
+
+# ---------------------------------------------------------------- notes
+
+def add_notes(ctx: Ctx, em: Emitter, root: ET.Element, main: str, ns: str) -> None:
+    """CommonMigration.addNotes:779-806."""
+    for e in children(root, ns, "note"):
+        if not attr(e, "work") and not attr(e, "location") and not text_of(e).strip():
+            continue
+        note_lit = get_literal(ctx, e, "en", "note", _local(main), _local(main), normalize=False)
+        note_loc = attr(e, "location").strip()
+        work_rid = attr(e, "work").strip()
+        note_work = None
+        if work_rid:
+            work_rid = ctx.auth.sanitize_rid("M" + work_rid)
+            if not ctx.auth.is_disconnected(work_rid):
+                note_work = BDR + work_rid
+        if note_lit is None and not note_loc and note_work is None:
+            continue
+        node = em.facet_node(FACET_NOTE, BDO + "Note")
+        em.add(main, BDO + "note", iri(node))
+        if note_lit is not None:
+            em.add(node, BDO + "noteText", lit(note_lit[0], note_lit[1]))
+        if note_loc:
+            em.add(node, BDO + "contentLocationStatement", lit(note_loc))
+        if note_work is not None:
+            em.add(node, BDO + "noteSource", iri(note_work))
+
+
+# ---------------------------------------------------------------- externals
+
+def add_externals(ctx: Ctx, em: Emitter, root: ET.Element, main: str, ns: str) -> None:
+    """CommonMigration.addExternals:840-863."""
+    for e in children(root, ns, "external"):
+        value = attr(e, "data").strip()
+        if not value:
+            continue
+        if "treasuryoflives.org" in value or "blog.tbrc.org" in value:
+            continue
+        if "tbrc.org" in value:
+            em.add(main, RDFS + "seeAlso", iri(BDR + T.rid_from_tbrc_url(value)))
+            continue
+        em.add(main, RDFS + "seeAlso", lit(value, None, XSD + "anyURI"))
+
+
+# ---------------------------------------------------------------- events
+
+def get_event(em: Emitter, rez: str, event_type: str, event_prop: str) -> str:
+    node = em.facet_node(FACET_EVENT, BDO + event_type)
+    em.add(rez, BDO + event_prop, iri(node))
+    return node
+
+
+def add_dates(em: Emitter, date_str: str, event: str) -> None:
+    for prop, lex, dt in T.parse_dates(date_str):
+        em.add(event, BDO + prop, lit(lex, None, dt))
+
+
+# ---------------------------------------------------------------- log entries
+
+_LOG_WHO = {
+    # CommonMigration.fillLogWhoToUri:398-607 (entries exercised by the
+    # reference corpus; alias -> bdu:U%05d)
+    "Gene Smith": 1,
+    "Bumu Dega": 3,
+    "Chris Tomlinson": 6,
+    "Code Ferret": 6,
+    "Chungdak Nangpa": 7,
+    "Jann Ronis": 11,
+    "Jeff Wallman": 12,
+    "Jigme Namgyal": 13,
+    "jm": 14,
+    "Joe McClellan": 15,
+    "Karma Gongde": 16,
+    "Lobsang Shastri": 19,
+    "Michael R. Sheehy": 20,
+    "Michael Sheehy": 20,
+    "msheehy": 20,
+    "paldor": 21,
+    "mangaram": 42,
+    "Travis DeTour": 66,
+    "Thaknita Mao": 82,
+}
+
+_DATES_OF_AUTO = {
+    # CommonMigration.datesOfAuto (CommonMigration.java:893-955): batch
+    # import timestamps whose message marks the entry as BatchMethod.
+    "2016-12-06T12:04:56.81Z": "FPL Import",
+    "2012-12-25T01:09:21.507Z": "created by monastery import",
+    "2012-12-11T17:11:51.984Z": "type changed from monastery to dgonPa",
+    "2012-12-11T17:39:05.287Z": "type changed from traditionalPlaceName to srolRgyunGyiSaMing",
+    "2015-10-27T19:58:07.021Z": "updating geometry for modern county",
+    "2012-12-11T17:49:53.482Z": "type changed from zhangxiang to shang",
+    "2013-12-03T23:23:40.962Z": "created by mongol import",
+    "2012-12-13T17:05:29.03Z": "type changed from placeTypes:gzimsKhang to khamsTshan",
+    "2012-12-11T17:21:51.251Z": "type changed from residentialHouse to gzimsKhang",
+    "2012-12-11T17:29:31.108Z": "type changed from temple to lhaKhang",
+    "2015-10-20T22:30:59.465Z": "populating gis from G9GBX...",
+    "2012-12-11T17:08:33.797Z": "type changed from placeTypes:rdzong to sngarGyiRdzong",
+    "2012-12-11T17:10:22.531Z": "type changed from hermitage to riKhrod",
+    "2014-03-20T14:27:21.266Z": "added tbrc phonetic tulku title",
+    "2014-04-22T00:30:13.577Z": "normalize encoding field for pub info",
+    "2015-01-05T17:22:13.356Z": "added hollis field to pub info",
+    "2017-08-28T14:31:58.652Z": "added archiveInfo for FPL",
+    "2017-08-28T14:40:13.266Z": "added archiveInfo for FPL",
+    "2014-05-02T18:19:14.334Z": "added seeHarvard to pub info",
+    "2012-03-30T11:00:49.672Z": "generated from legacy\n                entries of Gene Smith",
+    "2019-12-20T20:45:53.53Z": "updated missing pages info from NLM spreadsheet",
+    "2019-12-20T20:42:53.606Z": "updated missing pages info from NLM spreadsheet",
+    "2015-09-01T19:55:46.833Z": "subject class changed from T00AG01142 to T583",
+    "2015-09-01T17:05:34.944Z": "subject class changed from T1PD53280 to T770",
+    "2014-10-15T17:57:00.715Z": "updated catalog info",
+    "2017-11-02T17:38:24.575Z": "changed access to restrictedInChina",
+    "2015-05-14T15:56:26.693Z": "changed access to restrictedInChina",
+    "2014-07-28T22:06:14.547Z": "normalized names of who and received elements - for real this time",
+    "2014-07-29T16:42:13.479Z": "normalized names of who and received elements - yet again",
+    "2014-07-28T21:20:44.974Z": "normalized names of who and received elements",
+    "2014-07-29T20:49:23.894Z": "normalized names of who and received elements - yet again",
+    "2014-07-29T01:25:54.03Z": "normalized names of who and received elements - for real this time",
+    "2014-07-29T16:18:50.168Z": "normalized names of who and received elements - for real this time",
+    "2014-05-17T11:18:37.731Z": "normalized catalog info",
+    "2017-11-02T17:34:47.366Z": "changed access to restrictedByTbrc",
+    "2014-04-21T23:05:36.322Z": "normalized catalog info",
+    "2017-06-26T14:21:21.664Z": "made open access",
+    "2017-06-26T14:20:59.643Z": "made open access",
+    "2017-01-24T15:53:54.908Z": "marked as accessioned",
+    "2020-06-17T14:18:30.613Z": "changed access to restrictedInChina",
+    "2013-04-19T11:24:55.882Z": "added Work to CTC 10",
+    "2014-10-15T18:10:30.945Z": "deleted inProduct PR1COPYRIGHT",
+    "2014-10-15T17:56:23.536Z": "updated catalog info",
+    "2014-04-23T19:16:52.743Z": "added ALA-LC title variant from Hollis spreadsheet",
+    "2017-07-07T21:31:19.81Z": "added Work to CTC 14",
+    "2014-03-07T15:45:20.935Z": "added Work to CTC 11",
+    "2017-06-26T14:04:28.691Z": "made open access",
+    "2018-04-05T14:36:06.065Z": "added Work to CTC 15",
+    "2017-06-26T14:17:52.84Z": "made open access",
+    "2016-12-05T22:50:12.299Z": "marked as accessioned",
+    "2015-05-07T18:09:14.22Z": "added Work to CTC 12",
+    "2013-04-19T11:05:48.485Z": "added Work to CTC 10",
+    "2016-12-05T22:09:43.772Z": "marked as accessioned",
+    "2016-12-05T22:11:09.047Z": "marked as accessioned",
+    "2014-04-23T19:13:59.68Z": "added ALA-LC title variant from Hollis spreadsheet",
+    "2014-05-02T17:27:14.339Z": "removed erroneous titles from previous update",
+    "2016-05-10T16:55:52.884Z": "added Work to CTC 13",
+    "2017-06-26T14:26:25.168Z": "made restrictedInChina",
+    "2015-08-27T20:30:28.724Z": "subject class changed from T10MS11134 to T448",
+}
+
+import re as _re
+
+_OLDSTYLE_RID = _re.compile(r"^[A-Z]+\d+$")
+
+
+def add_log_entry(
+    ctx: Ctx,
+    em: Emitter,
+    e: ET.Element | None,
+    rez: str,
+    entry_num: int,
+    syncfound: bool,
+    is_outline: bool,
+) -> bool:
+    """CommonMigration.addLogEntry:958-1117 — one <entry> -> one bda:LG node."""
+    if e is None:
+        return syncfound
+    log_entry = None  # resolved name; None -> mint facet node at the end
+    log_entry_type = ADM + ("UpdateOutlineData" if is_outline else "UpdateData")
+    datevalue = attr(e, "when")
+    rez_local = _local(rez)
+    rid = rez_local[1:] if rez_local.startswith("MW") else rez_local
+    is_batch = False
+    log_agent = None
+    isoldstyle = bool(_OLDSTYLE_RID.match(rid)) and not is_outline
+
+    if (
+        (rid.startswith("W1FEMC") and entry_num == 1)
+        or (rid.startswith("P0RK") and entry_num == 1)
+        or (
+            not rid.startswith("W1FEMC")
+            and not rid.startswith("P0RK")
+            and entry_num == 0
+            and not isoldstyle
+        )
+    ):
+        if rid.startswith(("W1FEMC", "W1NLM", "W1FPL", "W0TTBBC")):
+            is_batch = True
+            log_entry_type = ADM + "InitialDataImport"
+            if datevalue:
+                log_entry = BDA + "LGIM" + T.md5_hex(datevalue, 8)
+        elif rid.startswith(("P0RK", "L1RK", "G9GBX")):
+            log_entry_type = ADM + "InitialDataImport"
+        else:
+            log_entry_type = ADM + ("InitialOutlineData" if is_outline else "InitialDataCreation")
+    if rid.startswith("W1FEMC") and entry_num == 0:
+        log_entry_type = ADM + "InitialDataCreation"
+
+    value = T.normalize_string(text_of(e), keep_spaces=True)
+    if rid.startswith("P0RK") and entry_num == 0:
+        log_entry_type = ADM + "InitialDataCreation"
+        datevalue = ""
+        value = ""
+
+    whovalue = T.normalize_string(attr(e, "who"))
+    if (
+        whovalue.endswith(".xql")
+        or whovalue.endswith("mport")
+        or whovalue.endswith("mporter")
+        or whovalue.startswith("Imagegroups ")
+        or whovalue == "pubinfo-add-biblioNote"
+        or whovalue == "add-works-to-PR1CTC16"
+    ):
+        if log_entry_type.endswith("InitialDataCreation"):
+            log_entry_type = ADM + ("InitialOutlineDataImport" if is_outline else "InitialDataImport")
+        else:
+            log_entry_type = ADM + ("UpdateOutlineData" if is_outline else "UpdateData")
+        is_batch = True
+        log_agent = whovalue
+        whovalue = ""
+        if datevalue:
+            datehash = T.md5_hex(datevalue, 8)
+            if log_agent == "works-femc03-import.xql":
+                datehash += "3"
+            log_entry = BDA + "LGIM" + datehash
+        if rid in value or value.startswith("imported imagegroup for W"):
+            value = ""
+
+    date_lex = None
+    date_dt = None
+    try:
+        if datevalue:
+            date_lex, date_dt = T.xsd_date_literal(datevalue)
+            date_lex_utc = T.datetime_to_utc_lex(date_lex) if date_dt == T.XSD_DATETIME else date_lex
+        else:
+            raise ValueError("empty")
+    except ValueError:
+        if datevalue:
+            ctx.error("gen", rez_local, rez_local, "log_entry",
+                      f"cannot convert log date properly, original date: `{datevalue}`")
+        date_lex = None
+
+    if date_lex is not None and _DATES_OF_AUTO.get(date_lex_utc) == value:
+        if log_entry_type.endswith("InitialDataCreation"):
+            log_entry_type = ADM + ("InitialOutlineDataImport" if is_outline else "InitialDataImport")
+        else:
+            log_entry_type = ADM + ("UpdateOutlineData" if is_outline else "UpdateData")
+        is_batch = True
+        log_entry = BDA + "LGIM" + T.md5_hex(date_lex_utc + value, 10)
+
+    if datevalue and rez_local.startswith("I"):
+        if datevalue == "2016-03-30T12:20:30.571-04:00":
+            log_entry, log_entry_type, is_batch, syncfound = BDA + "LGIGS001", ADM + "UpdateData", True, True
+        elif datevalue == "2016-03-31T17:27:09.458-04:00":
+            log_entry, log_entry_type, is_batch, syncfound = BDA + "LGIGS002", ADM + "UpdateData", True, True
+        elif datevalue == "2016-04-28T23:50:58.855Z":
+            log_entry, log_entry_type, is_batch, syncfound = BDA + "LGIGS003", ADM + "UpdateData", True, True
+        elif date_lex is not None and date_lex in ctx.log_by_date:
+            # same-date log entries in one I* graph merge (java:1062-1070)
+            log_entry = ctx.log_by_date[date_lex]
+
+    if value.startswith("Convert2Outline"):
+        log_entry_type = ADM + ("InitialOutlineDataImport" if is_outline else "InitialDataImport")
+        log_agent = value
+        value = ""
+
+    if value:
+        lcval = value.lower()
+        if lcval.startswith("withdraw"):
+            log_entry_type = ADM + "WithdrawData"
+        if lcval.startswith("updated total pages") and datevalue not in (
+            "2016-03-31T17:27:09.458-04:00",
+            "2016-04-28T23:50:58.855Z",
+            "2016-03-30T12:20:30.571-04:00",
+        ):
+            log_entry_type = ADM + ("ImagesUpdated" if syncfound else "Synced")
+            syncfound = True
+            is_batch = True
+        if lcval.startswith("added volumemap for scan request"):
+            log_entry_type = ADM + "ScanRequestCreation"
+
+    if log_entry is None:
+        log_entry = em.facet_node(FACET_LOG_ENTRY)
+    if date_lex is not None:
+        em.add(log_entry, ADM + "logDate", lit(date_lex_utc, None, date_dt))
+        if rez_local.startswith("I"):
+            ctx.log_by_date.setdefault(date_lex, log_entry)
+    if value:
+        em.add(log_entry, ADM + "logMessage", lit(value, "en"))
+    em.add(log_entry, RDF_TYPE, iri(log_entry_type))
+    if (
+        whovalue
+        and whovalue not in ("unspecified", "null")
+        and not log_entry_type.endswith("Synced")
+    ):
+        num = _LOG_WHO.get(whovalue)
+        if num is None:
+            em.add(log_entry, ADM + "logWhoStr", lit(whovalue))
+        else:
+            em.add(log_entry, ADM + "logWho", iri(BDU + "U%05d" % num))
+    if log_agent is not None:
+        em.add(log_entry, ADM + "logAgent", lit(log_agent))
+    if is_batch:
+        em.add(log_entry, ADM + "logMethod", iri(BDA + "BatchMethod"))
+    em.add(rez, ADM + "logEntry", iri(log_entry))
+    return syncfound
+
+
+def add_log(ctx: Ctx, em: Emitter, root: ET.Element, rez: str, ns: str, is_outline: bool) -> None:
+    """CommonMigration.addLog:1121-1152."""
+    syncfound = False
+    for log in elems(root, ns, "log"):
+        for j, entry in enumerate(elems(log, ns, "entry")):
+            syncfound = add_log_entry(ctx, em, entry, rez, j, syncfound, is_outline)
+        no_ns = [c for c in log.iter("entry")]
+        for k, entry in enumerate(no_ns):
+            syncfound = add_log_entry(ctx, em, entry, rez, k, syncfound, is_outline)
+    rid = _local(rez)
+    if not is_outline and _OLDSTYLE_RID.match(rid) and not rid.startswith("I"):
+        node = em.facet_node(FACET_LOG_ENTRY)
+        em.add(node, RDF_TYPE, iri(ADM + "InitialDataCreation"))
+        em.add(rez, ADM + "logEntry", iri(node))
+        em.add(node, ADM + "logWho", iri(BDU + "U00001"))
+    if rid.startswith("L1RK"):
+        node = em.facet_node(FACET_LOG_ENTRY)
+        em.add(node, RDF_TYPE, iri(ADM + "InitialDataCreation"))
+        em.add(rez, ADM + "logEntry", iri(node))
+        em.add(node, ADM + "logWho", iri(BDU + "U00023"))
+
+
+# ---------------------------------------------------------------- symmetric
+
+# helpers/SymetricNormalization.java:66-89 with the pinned config
+# normalizeOneDirection(oneDirection=true, preferManyOverOne=false)
+# (MigrationApp.main:748, MigrationTest.init:72-77): isMain semantics —
+# 0: direct edge dropped (inverse is canonical), 1: direct kept & no
+# inverse queued, 2: both directions kept.
+ONE_DIRECTION = True
+PREFER_MANY = False
+
+_MANY = 1 if PREFER_MANY else 0
+_ONE = 0 if PREFER_MANY else 1
+
+_SYM_PROPS = {
+    "placeContains": ("placeLocatedIn", _MANY),
+    "placeLocatedIn": ("placeContains", _ONE),
+    "instanceOf": ("workHasInstance", _ONE),
+    "workHasInstance": ("instanceOf", _MANY),
+    "serialMemberOf": ("serialHasMember", _ONE),
+    "serialHasMember": ("serialMemberOf", _MANY),
+    "serialInstanceOf": ("serialHasInstance", _ONE),
+    "serialHasInstance": ("serialInstanceOf", _MANY),
+    "personHasConsort": ("personHasConsort", 2),
+    "personTeacherOf": ("personStudentOf", _MANY),
+    "personStudentOf": ("personTeacherOf", _ONE),
+}
+
+
+def _kin_sym_info(prop: str, gender: str | None):
+    """SymetricNormalization.getKinSymInfo:91-196 — the inverse of a
+    kinship edge depends on the SOURCE person's gender."""
+    g = gender or "u"
+    if prop in ("hasSon", "hasDaughter"):
+        return {"male": ("hasFather", 1), "female": ("hasMother", 1)}.get(g, ("hasParent", 1))
+    if prop in ("hasMother", "hasFather"):
+        return {"male": ("hasSon", 0), "female": ("hasDaughter", 0)}.get(g, ("hasChild", 0))
+    if prop == "hasWife":
+        return ("hasHusband", 1)
+    if prop == "hasHusband":
+        return ("hasWife", 0)
+    if prop in ("hasSister", "hasBrother"):
+        return {"male": ("hasBrother", 2), "female": ("hasSister", 2)}.get(g, ("hasSibling", 2))
+    if prop in ("hasYoungerSister", "hasYoungerBrother"):
+        return {"male": ("hasOlderBrother", 1), "female": ("hasOlderSister", 1)}.get(g)
+    if prop in ("hasOlderSister", "hasOlderBrother"):
+        return {"male": ("hasYoungerBrother", 0), "female": ("hasYoungerSister", 0)}.get(g)
+    if prop in ("hasGrandMother", "hasGrandFather"):
+        return {"male": ("hasGrandSon", 0), "female": ("hasGrandDaughter", 0)}.get(
+            g, ("hasGrandChild", 0)
+        )
+    if prop in ("hasGrandDaughter", "hasGrandSon"):
+        return {"male": ("hasGrandFather", 1), "female": ("hasGrandMother", 1)}.get(
+            g, ("hasGrandParent", 1)
+        )
+    if prop in (
+        "hasAunt", "hasUncle", "hasMaternalUncle", "hasPaternalUncle",
+        "hasMaternalAunt", "hasPaternalAunt",
+    ):
+        return {"male": ("hasNephew", 0), "female": ("hasNiece", 0)}.get(g, ("hasNibling", 0))
+    if prop in ("hasNephew", "hasNiece"):
+        return {"male": ("hasUncle", 1), "female": ("hasAunt", 1)}.get(g, ("hasParentSibling", 1))
+    if prop == "hasCousin":
+        return ("hasCousin", 2)
+    return None
+
+
+def add_symmetric_property(
+    ctx: Ctx, em: Emitter, prop: str, source: str, dest: str, gender: str | None = None
+) -> None:
+    """SymetricNormalization.addSymetricProperty:209-244.
+
+    Emits the kept direction into this record's graph; queues the inverse
+    edge (dest, inverse_prop, source) for the global completion stage
+    (Spark: union + dedup + semi-join against migrated graphs, A1)."""
+    if source in ctx.auth.rid_replacements:
+        em.add(BDR + source, BDO + prop, iri(BDR + dest))
+        return
+    if gender is not None and prop != "personHasConsort":
+        sym = _kin_sym_info(prop, gender)
+    else:
+        sym = _SYM_PROPS.get(prop)
+    if sym is None:
+        em.add(BDR + source, BDO + prop, iri(BDR + dest))
+        return
+    sym_uri, is_main = sym
+    if not ONE_DIRECTION or is_main != 0:
+        em.add(BDR + source, BDO + prop, iri(BDR + dest))
+    if not ONE_DIRECTION or is_main != 1:
+        ctx.result.symmetric.append((dest, sym_uri, source))
+
+
+# ---------------------------------------------------------------- descriptions
+
+def description_type_needs_lang(dtype: str) -> str | None:
+    if dtype in ("incipit", "colophon", "colopho", "colophn", "colophone"):
+        return EWTS
+    if dtype in ("authorship", "summary", "content", "remarks", "contents"):
+        return "en"
+    return None
+
+
+_DESC_URI = {
+    # CommonMigration.getDescriptionUriFromType:627-709 (normalized keys)
+    "authorship": BDO + "authorshipStatement",
+    "incipit": BDO + "incipit",
+    "note": BDO + "note",
+    "notes": BDO + "note",
+    "chapter": BDO + "work_desc_chapters",
+    "chapters": BDO + "work_desc_chapters",
+    "content": BDO + "catalogInfo",
+    "contents": BDO + "catalogInfo",
+    "completionDate": BDO + "work_desc_completionDate",
+    "date": ADM + "work_desc_date",
+    "errata": BDO + "instanceErrata",
+    "extent": BDO + "extentStatement",
+    "id": "__fpl",
+    "libraryOfCongress": BDO + "work_desc_libraryOfCongress",
+    "location": BDO + "contentLocationStatement",
+    "room": "__fpl",
+    "gonpaPerEcumen": BDO + "placeGonpaPerEcumen",
+    "colopho": BDO + "colophon",
+    "colophon": BDO + "colophon",
+    "colophn": BDO + "colophon",
+    "colophone": BDO + "colophon",
+}
+for _k in (
+    "snar_bstan_number snr_thang_number snar_thang_number".split()
+):
+    _DESC_URI[_k] = "__id:" + BDR + "KaTenSiglaN"
+for _k in (
+    "gser_bris_numbr gser_birs_number gse_bris_number sger_bris_number "
+    "gser_bri_numer gser_dris_number gser_bri_number gser_bris_nimber gser_bris_number".split()
+):
+    _DESC_URI[_k] = "__id:" + BDR + "KaTenSiglaG"
+for _k in "sde_gde_number de_dge_number sdg_dge_number sdr_dge_number sde_dge_number toh_number toh".split():
+    _DESC_URI[_k] = "__id:" + BDR + "KaTenSiglaD"
+_DESC_URI["lhasa_number"] = "__id:" + BDR + "KaTenSiglaH"
+for _k in "stog_numbe stog_unmber stog_number stogNumber".split():
+    _DESC_URI[_k] = "__id:" + BDR + "KaTenSiglaS"
+for _k in "otani_number otani otani_beijing".split():
+    _DESC_URI[_k] = "__id:" + BDR + "KaTenSiglaQ"
+for _k in "sheyNumber shey_number".split():
+    _DESC_URI[_k] = "__id:" + BDR + "KaTenSiglaZ"
+_DESC_URI["rKTsReference"] = "__id:" + BDR + "RefrKTsK"
+_DESC_URI["bon_bka_gyur_number"] = "__id:" + BDR + "KaTenSiglaBon"
+_DESC_URI["urga_number"] = "__id:" + BDR + "KaTenSiglaU"
+_DESC_URI["isIAO"] = "__id:" + BDR + "RefIsIAO"
+_DESC_URI["catalogue_number"] = "__id:" + BDR + "RefChokLing"
+_DESC_IGNORE = frozenset(
+    "nameLex nameKR gbdist town_syl town_py town_ch prov_py gonpaPer1000 "
+    "dist_py ondisk onDisk dld icon text dpl480 featured".split()
+)
+
+FPL_LIBRARY_ID = "G1TLMFPL000001"
+
+
+def get_description_uri(dtype: str, is_biblio: bool) -> str | None:
+    res = normalize_prop_name(dtype)
+    if res in ("noType", "status"):
+        return BDO + "biblioNote" if is_biblio else RDFS + "comment"
+    if res in ("remarks",):
+        return BDO + "biblioNote" if is_biblio else RDFS + "comment"
+    if res == "summary":
+        return BDO + "catalogInfo" if is_biblio else RDFS + "comment"
+    if res in _DESC_IGNORE:
+        return "__ignore"
+    return _DESC_URI.get(res)
+
+
+def normalize_prop_name(s: str, target_type: str = "description") -> str:
+    res = s.strip().replace("'", "").replace(" ", "_")
+    if not res:
+        return res
+    if target_type == "Class":
+        return res[0].upper() + res[1:]
+    return res[0].lower() + res[1:]
+
+
+def add_identifier(em: Emitter, rez: str, type_uri: str, value: str) -> None:
+    node = em.facet_node(FACET_IDENTIFIER, type_uri)
+    em.add(rez, BF + "identifiedBy", iri(node))
+    em.add(node, RDF_VALUE, lit(value))
+
+
+def add_descriptions(
+    ctx: Ctx,
+    em: Emitter,
+    root: ET.Element,
+    rez: str,
+    ns: str,
+    guess_label: bool = False,
+    main_a: tuple | None = None,  # (emitter, iri) of the abstract-work graph
+):
+    """CommonMigration.addDescriptions:1344-1492 (FPL item branch included;
+    FEMC branch lives in the work migrator).  Returns the FPL item emitter
+    when one was created."""
+    label_done: dict[str, bool] = {}
+    fpl_em = None
+    fpl_item = None
+    fpl_id = None
+    fpl_room = None
+    fpl_desc = None
+    rez_local = _local(rez)
+    for current in children(root, ns, "description"):
+        value = text_of(current).strip()
+        if not value:
+            continue
+        dtype = attr(current, "type").strip() or "noType"
+        langhint = description_type_needs_lang(dtype)
+        if langhint is not None or (guess_label and dtype == "noType"):
+            lv = get_literal(ctx, current, langhint or "en", "description", rez_local, rez_local)
+            if lv is None:
+                continue
+        else:
+            if dtype == "noType":
+                lv = get_literal(ctx, current, "en", "description", rez_local, rez_local)
+            else:
+                lv = (T.normalize_string(value), None)
+        if lv is None:
+            continue
+        if dtype == "note":
+            node = em.facet_node(FACET_NOTE, BDO + "Note")
+            em.add(rez, BDO + "note", iri(node))
+            em.add(node, BDO + "noteText", lit(lv[0], lv[1]))
+            continue
+        if dtype in ("completionDate", "date"):
+            event = get_event(em, rez, "CompletedEvent", "workEvent")
+            add_dates(em, value, event)
+            continue
+        is_biblio = rez_local[0] in "WMI"
+        prop_uri = get_description_uri(dtype, is_biblio)
+        if prop_uri == "__ignore":
+            continue
+        if prop_uri is None:
+            ctx.error("desc", rez_local, rez_local, "description",
+                      "unhandled description type: " + dtype)
+            if not guess_label:
+                continue
+        if prop_uri is not None and prop_uri.startswith("__id"):
+            add_identifier(em, rez, prop_uri[5:], T.normalize_string(value))
+            continue
+        if prop_uri == "__fpl":
+            if fpl_item is None:
+                fpl_local = "IT" + rez_local[1:]
+                fpl_em = Emitter(graph=fpl_local)
+                fpl_item = BDR + fpl_local
+                adm = create_admin_root(fpl_em, fpl_item)
+                fpl_em.add(fpl_item, BDO + "itemForInstance", iri(rez))
+                add_released(fpl_em, adm)
+                fpl_em.add(fpl_item, RDF_TYPE, iri(BDO + "Item"))
+                fpl_em.add(fpl_item, BDO + "itemLibrary", iri(BDR + FPL_LIBRARY_ID))
+            if dtype == "id":
+                fpl_id = value
+                if fpl_room is not None:
+                    fpl_em.add(fpl_item, BDO + "itemShelf", lit(fpl_room + "|" + fpl_id))
+            elif dtype == "room":
+                fpl_room = value
+                if fpl_id is not None:
+                    fpl_em.add(fpl_item, BDO + "itemShelf", lit(fpl_room + "|" + fpl_id))
+            elif dtype == "remarks":
+                fpl_desc = value if fpl_desc is None else fpl_desc + "\n" + value
+            continue
+        if guess_label and dtype in ("contents", "noType"):
+            lang2 = (lv[1] or "en")[:2]
+            if lang2 not in label_done:
+                em.add(rez, SKOS + "prefLabel", lit(lv[0], lv[1]))
+                label_done[lang2] = True
+            else:
+                em.add(rez, SKOS + "altLabel", lit(lv[0], lv[1]))
+            continue
+        if prop_uri == BDO + "catalogInfo" and main_a is not None:
+            main_a[0].add(main_a[1], prop_uri, lit(lv[0], lv[1]))
+        elif prop_uri is not None:
+            em.add(rez, prop_uri, lit(lv[0], lv[1]))
+    if (fpl_id is None) != (fpl_room is None):
+        ctx.error("gen", rez_local, rez_local, "description",
+                  "types `id` and `room` should both be present")
+        if fpl_item is not None:
+            shelf = (fpl_room or "") + "|" + (fpl_id or "")
+            fpl_em.add(fpl_item, BDO + "itemShelf", lit(shelf))
+    if fpl_desc is not None:
+        em.add(rez, BDO + "biblioNote", lit(fpl_desc, "en"))
+    return fpl_em

@@ -1,0 +1,11 @@
+"""Work migrator — placeholder; implemented later this round."""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from xmltoldmigration_spark.kg.common import Ctx
+
+
+def migrate(root: ET.Element, ctx: Ctx):
+    raise NotImplementedError("work migrator not yet implemented")
