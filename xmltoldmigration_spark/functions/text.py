@@ -22,14 +22,15 @@ def normalize_string(s: str, keep_spaces: bool = False) -> str:
     return _WS.sub(" ", s).strip()
 
 
-# C10 — md5 minting (OutlineMigration.getMd5:492-503)
+# C10 — md5 minting (OutlineMigration.getMd5:492-503, %032X = uppercase)
 def md5_hex(s: str, nchars: int = 6) -> str:
-    return hashlib.md5(s.encode("utf-8")).hexdigest()[:nchars]
+    return hashlib.md5(s.encode("utf-8")).hexdigest().upper()[:nchars]
 
 
 def dst_shard(base_name: str) -> str:
-    """Output sharding: first 2 hex chars of md5 (MigrationApp.getDstFileName:133-147)."""
-    return md5_hex(base_name, 2)
+    """Output sharding: first 2 hex chars of md5, lowercase
+    (MigrationApp.getDstFileName:133-147)."""
+    return hashlib.md5(base_name.encode("utf-8")).hexdigest()[:2]
 
 
 # C9 — URL normalization (CommonMigration.java:806-839)

@@ -181,6 +181,14 @@ def get_literal(
     tag = L.get_bcp47(attr(elem, "lang"), attr(elem, "encoding"), dflt)
     if tag is None:
         tag = dflt
+    # LangStrings sniffs content script and overrides a mismatched
+    # declared encoding (G844.xml declares extendedWylie on Tibetan-unicode
+    # text and native on Latin text; golden flips both tags)
+    has_tib = any("ༀ" <= c <= "࿿" for c in value)
+    if tag == "bo" and not has_tib:
+        tag = EWTS
+    elif tag == EWTS and has_tib:
+        tag = "bo"
     if tag == "bo":
         value = L.normalize_tibetan(value)
         if value and L.is_combining(value[0]):
@@ -218,6 +226,10 @@ def get_literal(
         tag = L.guess_zh_script(value) if L.is_hani(value) else "zh-latn-pinyin-x-ndia"
     if tag == "zh-latn-pinyin" and not L.has_pinyin_diacritics(value):
         tag = "zh-latn-pinyin-x-ndia"
+    if tag == "en" and value and 0x0F00 <= ord(value[0]) <= 0x0FFF:
+        # LangStrings sniffs Tibetan-unicode content even under an English
+        # default (G844 golden notes are @bo with no lang attribute)
+        tag = "bo"
     return value, tag
 
 

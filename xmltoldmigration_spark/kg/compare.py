@@ -26,8 +26,8 @@ from xmltoldmigration_spark.kg.model import ADM
 # LGIM…/LGIGS… (md5-of-content log ids, OutlineMigration.getMd5) and
 # outline part RIDs (workId_md5[0:6]) are reproducible and kept verbatim.
 _FACET_RE = re.compile(
-    r"^http://purl\.bdrc\.io/(?:resource/(?:NM|EV|NT|CR|CL|TT|ID|VL|CM|EL|EP|ER|LH|MF)"
-    r"|admindata/LG)[0-9A-F]{8,20}$"
+    r"^(?:http://purl\.bdrc\.io/(?:resource/(?:NM|EV|NT|CR|CL|TT|ID|VL|CM|EL|EP|ER|LH|MF)"
+    r"|admindata/LG)|http://www\.w3\.org/2006/vcard/ns#VA)[0-9A-F]{8,20}$"
 )
 
 _EXCLUDED_PREDICATES = frozenset(
