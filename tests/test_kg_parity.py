@@ -1,0 +1,48 @@
+"""Golden-corpus parity: every implemented migrator must reproduce the
+reference's triples at P/R >= 0.95 (BASELINE.json north_rule; we assert
+1.0 for implemented types).
+
+Corpus: /root/reference/src/test/xml ↔ src/test/ttl, the same pairs
+MigrationTest.java asserts graph isomorphism on (SURVEY.md §5).  Facet
+IRIs are canonicalized by content signature (kg/compare.py) exactly as
+the reference's oracle treats them (isomorphism, not string equality).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+XML_DIR = Path("/root/reference/src/test/xml")
+
+pytestmark = pytest.mark.skipif(
+    not XML_DIR.exists(), reason="reference golden corpus not present"
+)
+
+# fixture name -> record type; extended as migrators land
+IMPLEMENTED = {
+    "P1331": "person",
+    "P1583": "person",
+    "G488": "place",
+    "G844": "place",
+    "TopicTest": "topic",
+    "OfficeTest": "office",
+    "CorporationTest": "corporation",
+    "L8LS14115": "lineage",
+    "WorkTestFPL": "work",
+}
+
+
+@pytest.mark.parametrize("name", sorted(IMPLEMENTED))
+def test_fixture_parity(name):
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from fixture_diff import run_fixture
+
+    pr, _ = run_fixture(name, IMPLEMENTED[name])
+    assert pr.precision == 1.0 and pr.recall == 1.0, (
+        f"{name}: P={pr.precision:.3f} R={pr.recall:.3f}\n"
+        f"missing={pr.missing[:5]}\nextra={pr.extra[:5]}"
+    )

@@ -44,6 +44,10 @@ _LANG_ENC = {
     ("sanskrit", "extendedWylie"): "sa-x-ewts",
     ("pāli", "kmfemc"): "pi-x-kmfemc",
     ("pali", "kmfemc"): "pi-x-kmfemc",
+    ("pāli", "withDiacritics"): "pi-x-iast",
+    ("pali", "withDiacritics"): "pi-x-iast",
+    ("pāli", "native"): "pi-x-iast",
+    ("pali", "native"): "pi-x-iast",
     ("pāli", "km"): "pi-khmr",
     ("pali", "km"): "pi-khmr",
     ("pāli", ""): "pi",
@@ -84,7 +88,15 @@ def is_hani(s: str) -> bool:
 
 
 def guess_zh_script(s: str) -> str:
-    trad = sum(1 for c in s if c in _TRAD_ONLY)
+    """zh-hans vs zh-hant via the reference's traditional-only char list
+    (tclist.txt, loaded by CommonMigration.getTcList:214-226) with a small
+    built-in fallback set."""
+    from xmltoldmigration_spark.kg.authority import get_authority
+
+    trad_chars = get_authority().trad_chars or _TRAD_ONLY
+    trad = sum(1 for c in s if c in trad_chars)
+    if trad_chars is not _TRAD_ONLY:
+        return "zh-hant" if trad > 0 else "zh-hans"
     simp = sum(1 for c in s if c in _SIMP_ONLY)
     return "zh-hant" if trad > simp else "zh-hans"
 

@@ -185,6 +185,13 @@ def xsd_date_literal(s: str) -> tuple[str, str]:
         int(m.group(1)), int(m.group(2)), int(m.group(3)),
         int(m.group(4)), int(m.group(5)), min(int(sec), 59),
     )
+    # Jena's XSDDateTime lexical form trims trailing zeros in the
+    # fractional seconds (".810Z" -> ".81Z", WorkTestFPL golden)
+    if "." in m.group(6):
+        whole, frac = m.group(6).split(".")
+        frac = frac.rstrip("0")
+        canon_sec = whole + ("." + frac if frac else "")
+        s = s[: m.start(6)] + canon_sec + (m.group(7) or "")
     return s, XSD_DATETIME
 
 

@@ -81,6 +81,9 @@ class Authority:
     copyright_undetermined: set = field(default_factory=set)
     oclc: dict = field(default_factory=dict)
     abstract_rkts: dict = field(default_factory=dict)
+    creator_roles: dict = field(default_factory=dict)  # role key -> R0ER id
+    genre_topics: set = field(default_factory=set)  # topic rids tagged workGenre
+    trad_chars: set = field(default_factory=set)  # traditional-only CJK chars
 
     def sanitize_rid(self, rid: str) -> str:
         """MigrationHelpers.sanitizeRID:456-463 — redirect withdrawn RIDs."""
@@ -121,5 +124,8 @@ def get_authority() -> Authority:
             copyright_undetermined=_txt_set("mw-copyright-undetermined.csv"),
             oclc=_csv_map("oclc-ia.csv"),
             abstract_rkts=_csv_map("abstract-rkts.csv"),
+            creator_roles=_csv_map("creator-migrations.txt"),
+            genre_topics=_txt_set("topics-genres.txt"),
+            trad_chars={c[0] for c in _txt_set("tclist.txt") if c},
         )
     return _AUTHORITY

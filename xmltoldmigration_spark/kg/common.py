@@ -78,6 +78,16 @@ class Ctx:
     # per-graph logDate -> logEntry node (same-date merge for I* graphs,
     # CommonMigration.java:1062-1070)
     log_by_date: dict = field(default_factory=dict)
+    # cross-record first-wins state (A5/A6/J13); record-local here, the
+    # Spark pipeline reconciles these via groupBy-first / joins (kg/link.py)
+    series_members_to_works: dict = field(default_factory=dict)
+    series_members_to_work_labels: dict = field(default_factory=dict)
+    worktopics: dict = field(default_factory=dict)
+    etext_instances: dict = field(default_factory=dict)
+    work_access: dict = field(default_factory=dict)
+    work_legal: dict = field(default_factory=dict)
+    work_ric: dict = field(default_factory=dict)
+    scans_low_quality: dict = field(default_factory=dict)
 
     def error(self, etype: str, rid: str, sub_rid: str, prop: str, msg: str):
         self.result.errors.append((etype, rid, sub_rid, prop, msg))
@@ -319,7 +329,15 @@ def add_externals(ctx: Ctx, em: Emitter, root: ET.Element, main: str, ns: str) -
 
 # ---------------------------------------------------------------- events
 
-def get_event(em: Emitter, rez: str, event_type: str, event_prop: str) -> str:
+def get_event(em: Emitter, rez: str, event_type: str, event_prop: str, reuse: bool = False) -> str:
+    if reuse:
+        key = (rez, event_type, event_prop)
+        node = em.event_cache.get(key)
+        if node is None:
+            node = em.facet_node(FACET_EVENT, BDO + event_type)
+            em.add(rez, BDO + event_prop, iri(node))
+            em.event_cache[key] = node
+        return node
     node = em.facet_node(FACET_EVENT, BDO + event_type)
     em.add(rez, BDO + event_prop, iri(node))
     return node
@@ -826,7 +844,7 @@ def add_descriptions(
             em.add(node, BDO + "noteText", lit(lv[0], lv[1]))
             continue
         if dtype in ("completionDate", "date"):
-            event = get_event(em, rez, "CompletedEvent", "workEvent")
+            event = get_event(em, rez, "CompletedEvent", "workEvent", reuse=True)
             add_dates(em, value, event)
             continue
         is_biblio = rez_local[0] in "WMI"
@@ -883,3 +901,294 @@ def add_descriptions(
     if fpl_desc is not None:
         em.add(rez, BDO + "biblioNote", lit(fpl_desc, "en"))
     return fpl_em
+
+
+# ---------------------------------------------------------------- titles
+
+FACET_TITLE = ("TT", BDR)
+FACET_CREATOR = ("CR", BDR)
+
+_TITLE_DIRECT = frozenset(
+    "titlePageTitle fullTitle subtitle runningTitle colophonTitle coverTitle "
+    "incipitTitle halfTitle otherTitle spineTitle copyrightPageTitle".split()
+)
+
+
+def get_node_type(ctx: Ctx, em: Emitter, dtype: str, outline_mode: bool) -> str:
+    """CommonMigration.getNodeType:1492-1528 — title type -> node class."""
+    if dtype in _TITLE_DIRECT:
+        return BDO + dtype[0].upper() + dtype[1:]
+    if dtype == "dkarChagTitle":
+        return BDO + "ToCTitle"
+    if dtype in ("sectionTitle", "captionTitle"):
+        return BDO + ("RunningTitle" if outline_mode else "OtherTitle")
+    if dtype == "portion":
+        return BDO + "TitlePortion"
+    if dtype == "incipit":
+        return BDO + "IncipitTitle"
+    if dtype == "bibliographicalTitle":
+        return BDO + "Title"
+    ctx.error("gen", em.graph, em.graph, "title", f"unknown title type `{dtype}`")
+    return BDO + "Title"
+
+
+def abstract_title_value(value: str, tag: str) -> tuple[str, str]:
+    """CommonMigration.abstractTitle:1672-1696 (bo-x-ewts only)."""
+    import re
+
+    if tag != EWTS:
+        return value, tag
+    s = value.strip()
+    s = re.sub(r"^[\(（][^\)）༽]+[\)）༽]", "", s)
+    s = re.sub(r" bzhugs so ?/?$", "", s)
+    s = re.sub(r"^[^ ]+\)[_ ]?", "", s)
+    s = re.sub(r' *" *', "", s)
+    s = re.sub(r"^_+", "", s)
+    idx = max(s.rfind("("), s.rfind("（"))
+    if idx != -1:
+        toremove = s[idx:]
+        if any(k in toremove for k in ("par ma", "dpe bsdur", "glog klad", "bris ma")):
+            s = s[:idx]
+    return L.add_ewts_shad(s.strip()), tag
+
+
+def _get_femc_lit(title: ET.Element) -> tuple[str, str]:
+    """CommonMigration.getFEMCLit:1530-1553."""
+    value = text_of(title)
+    lang = attr(title, "lang")
+    dtype = attr(title, "type")
+    roman = "roman" in dtype
+    tag = "km-x-unspec"
+    if lang == "khmer":
+        tag = "km-x-twktt" if roman else "km"
+    elif lang == "pāli":
+        tag = "pi-x-twktt" if roman else "pi-khmr"
+    return value, tag
+
+
+def _add_femc_title(ctx: Ctx, em: Emitter, main: str, title: ET.Element, dtype: str, add_pref: bool):
+    value, tag = _get_femc_lit(title)
+    node_type = get_node_type(ctx, em, dtype, False)
+    node = em.facet_node(FACET_TITLE, node_type)
+    em.add(node, RDFS + "label", lit(value, tag))
+    em.add(main, BDO + "hasTitle", iri(node))
+    if add_pref:
+        em.add(main, SKOS + "prefLabel", lit(value, tag))
+    return node
+
+
+def _add_femc_titles(ctx: Ctx, em: Emitter, main: str, nodes: list, main_a) -> bool:
+    """CommonMigration.addFEMCTitles:1555-1668."""
+    rid = _local(main)
+    if "FEMC" not in rid or rid in ("W1FEMC01", "W1FEMC02"):
+        return False
+    by_type: dict[str, ET.Element] = {}
+    for current in nodes:
+        t = attr(current, "type")
+        if t:
+            by_type[t] = current
+    khmer_std = by_type.get("khmerStandard")
+    roman_std = by_type.get("romanStandard")
+    khmer_cor = by_type.get("khmerCorrectedOriginal")
+    roman_cor = by_type.get("romanCorrectedOriginal")
+    khmer_org = by_type.get("khmerOriginal")
+    roman_org = by_type.get("romanOriginal")
+    biblio_khmer = False
+    biblio_roman = False
+    cor_khm = cor_rom = org_khm = org_rom = None
+    if khmer_std is not None:
+        if roman_std is not None and text_of(roman_std) == "das jātak":
+            _add_femc_title(ctx, em, main, khmer_std, "otherTitle", False)
+        else:
+            biblio_khmer = True
+            _add_femc_title(ctx, em, main, khmer_std, "bibliographicalTitle", True)
+    if roman_std is not None:
+        if text_of(roman_std) == "das jātak":
+            _add_femc_title(ctx, em, main, khmer_std, "otherTitle", False)
+        else:
+            biblio_roman = True
+            _add_femc_title(ctx, em, main, roman_std, "bibliographicalTitle", True)
+    if khmer_cor is not None:
+        cor_khm = _add_femc_title(ctx, em, main, khmer_cor,
+                                  "coverTitle" if biblio_khmer else "bibliographicalTitle",
+                                  not biblio_khmer)
+        biblio_khmer = True
+    if roman_cor is not None:
+        cor_rom = _add_femc_title(ctx, em, main, roman_cor,
+                                  "coverTitle" if biblio_roman else "bibliographicalTitle",
+                                  not biblio_roman)
+        biblio_roman = True
+    if khmer_org is not None:
+        org_khm = _add_femc_title(ctx, em, main, khmer_org,
+                                  "coverTitle" if biblio_khmer else "bibliographicalTitle",
+                                  not biblio_khmer)
+        biblio_khmer = True
+    if roman_org is not None:
+        org_rom = _add_femc_title(ctx, em, main, roman_org,
+                                  "coverTitle" if biblio_roman else "bibliographicalTitle",
+                                  not biblio_roman)
+        biblio_roman = True
+    if cor_khm and org_khm:
+        em.add(cor_khm, BDO + "femcConversionOf", iri(org_khm))
+    if cor_rom and org_rom:
+        em.add(cor_rom, BDO + "femcConversionOf", iri(org_rom))
+    return True
+
+
+def add_titles(
+    ctx: Ctx,
+    root: ET.Element,
+    ns: str,
+    main: tuple | None,  # (Emitter, iri) of the instance graph
+    main_a: tuple | None,  # (Emitter, iri) of the abstract-work graph
+    guess_label: bool = True,
+    outline_mode: bool = False,
+) -> None:
+    """CommonMigration.addTitles:1698-1803 — title facets + A2 label split
+    between instance (prefLabel) and abstract work (prefLabel/altLabel via
+    abstractTitle)."""
+    nodes = children(root, ns, "title")
+    if main is not None and _add_femc_titles(ctx, main[0], main[1], nodes, main_a):
+        return
+    label_done: dict[str, bool] = {}
+    title_seen: dict[str, bool] = {}
+    for i, current in enumerate(nodes):
+        local_rid = _local(main[1]) if main is not None else _local(main_a[1])
+        lv = get_literal(ctx, current, EWTS, "title", local_rid, local_rid)
+        if lv is None:
+            continue
+        value, tag = lv
+        next_titles: list[str] = []
+        if main is not None and "FPL" in local_rid and tag == "pi-x-iast" and "--" in value:
+            split = value.split("--")
+            extra = [s for s in split[1:] if s]
+            if extra:
+                next_titles = extra
+                value = split[0]
+        lit_key = value + "@" + tag
+        if lit_key in title_seen:
+            continue
+        title_seen[lit_key] = True
+        dtype = attr(current, "type") or "bibliographicalTitle"
+        if dtype == "incipit" and main is not None:
+            main[0].add(main[1], BDO + "incipit", lit(value, tag))
+            continue
+        if main is not None:
+            em, mn = main
+            node_type = get_node_type(ctx, em, dtype, outline_mode)
+            node = em.facet_node(FACET_TITLE, node_type)
+            em.add(node, RDFS + "label", lit(value, tag))
+            em.add(mn, BDO + "hasTitle", iri(node))
+            for nt in next_titles:
+                node = em.facet_node(FACET_TITLE, node_type)
+                em.add(node, RDFS + "label", lit(nt, "pi-x-iast"))
+                em.add(mn, BDO + "hasTitle", iri(node))
+        if main_a is not None and len(nodes) > 1:
+            if guess_label:
+                lang2 = tag[:2]
+                if lang2 not in label_done:
+                    if main is not None:
+                        main[0].add(main[1], SKOS + "prefLabel", lit(value, tag))
+                    av, atag = abstract_title_value(value, tag)
+                    main_a[0].add(main_a[1], SKOS + "prefLabel", lit(av, atag))
+                    label_done[lang2] = True
+                else:
+                    main_a[0].add(main_a[1], SKOS + "altLabel", lit(value, tag))
+            continue
+        if guess_label:
+            lang2 = tag[:2]
+            if lang2 not in label_done:
+                if main is not None:
+                    main[0].add(main[1], SKOS + "prefLabel", lit(value, tag))
+                if main_a is not None:
+                    av, atag = abstract_title_value(value, tag)
+                    main_a[0].add(main_a[1], SKOS + "prefLabel", lit(av, atag))
+                label_done[lang2] = True
+            elif main_a is not None:
+                av, atag = abstract_title_value(value, tag)
+                main_a[0].add(main_a[1], SKOS + "altLabel", lit(av, atag))
+
+
+# ---------------------------------------------------------------- subjects
+
+_COMMENTARY_TOPICS = frozenset(
+    "T304 T3JT5054 T61 T4JW5424 T10MS12837 T132 T1488 T1491 T2397".split()
+)
+_LANG_TOPICS = frozenset(("T3CN1331", "T2411", "T3CN2027"))
+
+
+def add_subjects(ctx: Ctx, em: Emitter | None, main: str, root: ET.Element, ns: str):
+    """CommonMigration.addSubjects:1831-1900 (J5-adjacent W->WA hop).
+
+    With em=None returns ["prop-rid", ...] instead of emitting (the
+    deferred-worktopics path, A6)."""
+    needs_commentary = False
+    has_commentary = False
+    res: list[str] | None = None
+    for current in children(root, ns, "subject"):
+        rid = attr(current, "class").strip()
+        if not rid:
+            continue
+        if rid in _COMMENTARY_TOPICS:
+            has_commentary = True
+        if rid in _LANG_TOPICS:
+            continue
+        value = attr(current, "type").strip()
+        if value == "isCommentaryOn":
+            needs_commentary = True
+        prop_lname = "workGenre" if rid in ctx.auth.genre_topics else "workIsAbout"
+        rid = ctx.auth.sanitize_rid(rid)
+        if ctx.auth.is_disconnected(rid):
+            continue
+        if rid.startswith("W") and not rid.startswith("WA"):
+            rid = "WA" + rid[1:]
+            other = ctx.auth.clusters.get(rid)
+            if other is not None:
+                rid = other
+        if em is None:
+            res = res or []
+            res.append(prop_lname + "-" + rid)
+        else:
+            em.add(main, BDO + prop_lname, iri(BDR + rid))
+    if needs_commentary and not has_commentary:
+        if em is None:
+            res = res or []
+            res.append("workGenre-T132")
+        else:
+            em.add(main, BDO + "workGenre", iri(BDR + "T132"))
+    return res
+
+
+# ---------------------------------------------------------------- creators
+
+CREATOR_FOR_INSTANCE = frozenset(("hasCalligrapher", "hasScribe", "hasEditor"))
+
+
+def creator_role_uri(ctx: Ctx, role_key: str) -> str:
+    """CommonMigration.getCreatorRoleUri:245-248 (creator-migrations.txt)."""
+    if role_key.startswith("has"):
+        role_key = role_key[3:]
+    return BDR + ctx.auth.creator_roles.get(role_key, "R0ER0019")
+
+
+def add_agent_as_creator(
+    ctx: Ctx,
+    main: tuple | None,  # (Emitter, iri) instance
+    person: str,  # bdr IRI
+    role_key: str,
+    main_a: tuple | None,  # (Emitter, iri) abstract work
+) -> None:
+    """CommonMigration.addAgentAsCreator:261-283."""
+    if person.endswith("/P7326"):
+        return
+    creator_node = None
+    if main_a is not None and role_key not in CREATOR_FOR_INSTANCE:
+        em, target = main_a
+    elif main is not None and role_key in CREATOR_FOR_INSTANCE:
+        em, target = main
+    else:
+        return
+    creator_node = em.facet_node(FACET_CREATOR, BDO + "AgentAsCreator")
+    em.add(target, BDO + "creator", iri(creator_node))
+    em.add(creator_node, BDO + "agent", iri(person))
+    em.add(creator_node, BDO + "role", iri(creator_role_uri(ctx, role_key)))

@@ -125,6 +125,10 @@ class Emitter:
     graph: str
     triples: dict = field(default_factory=dict)  # key -> None (ordered set)
     facet_index: int = 1
+    # (rez, event_type, event_prop) -> node; CommonMigration.getEvent reuses
+    # one facet per (resource, type, prop) so repeated completionDate
+    # descriptions merge into a single event (WorkTestFPL golden)
+    event_cache: dict = field(default_factory=dict)
 
     def add(self, s: str, p: str, o: tuple) -> None:
         self.triples[(s, p, o[0], o[1], o[2], o[3])] = None
