@@ -31,6 +31,8 @@ IMPLEMENTED = {
     "CorporationTest": "corporation",
     "L8LS14115": "lineage",
     "WorkTestFPL": "work",
+    "PubinfoTest": "pubinfo",
+    "ImagegroupTest": "imagegroup",
 }
 
 

@@ -67,6 +67,10 @@ def parse_xml(content: str) -> ET.Element:
     return ET.fromstring(content)
 
 
+def normalize_keep(s: str) -> str:
+    return T.normalize_string(s, keep_spaces=True)
+
+
 # ---------------------------------------------------------------- context
 
 @dataclass
@@ -88,6 +92,7 @@ class Ctx:
     work_legal: dict = field(default_factory=dict)
     work_ric: dict = field(default_factory=dict)
     scans_low_quality: dict = field(default_factory=dict)
+    work_vol_names: dict = field(default_factory=dict)  # workId -> {volnum: (value, tag)}
 
     def error(self, etype: str, rid: str, sub_rid: str, prop: str, msg: str):
         self.result.errors.append((etype, rid, sub_rid, prop, msg))
@@ -350,29 +355,8 @@ def add_dates(em: Emitter, date_str: str, event: str) -> None:
 
 # ---------------------------------------------------------------- log entries
 
-_LOG_WHO = {
-    # CommonMigration.fillLogWhoToUri:398-607 (entries exercised by the
-    # reference corpus; alias -> bdu:U%05d)
-    "Gene Smith": 1,
-    "Bumu Dega": 3,
-    "Chris Tomlinson": 6,
-    "Code Ferret": 6,
-    "Chungdak Nangpa": 7,
-    "Jann Ronis": 11,
-    "Jeff Wallman": 12,
-    "Jigme Namgyal": 13,
-    "jm": 14,
-    "Joe McClellan": 15,
-    "Karma Gongde": 16,
-    "Lobsang Shastri": 19,
-    "Michael R. Sheehy": 20,
-    "Michael Sheehy": 20,
-    "msheehy": 20,
-    "paldor": 21,
-    "mangaram": 42,
-    "Travis DeTour": 66,
-    "Thaknita Mao": 82,
-}
+from xmltoldmigration_spark.functions.logwho import LOG_WHO as _LOG_WHO
+from xmltoldmigration_spark.functions.logwho import LOG_WHO_LIST as _LOG_WHO_LIST
 
 _DATES_OF_AUTO = {
     # CommonMigration.datesOfAuto (CommonMigration.java:893-955): batch

@@ -22,7 +22,9 @@ def migrate_record(rtype: str, content: str, ctx: Ctx):
         outline,
         person,
         place,
+        imagegroup,
         product,
+        pubinfo,
         taxonomy,
         topic,
         work,
@@ -39,6 +41,8 @@ def migrate_record(rtype: str, content: str, ctx: Ctx):
         "work": work.migrate,
         "outline": outline.migrate,
         "product": product.migrate,
+        "pubinfo": pubinfo.migrate,
+        "imagegroup": imagegroup.migrate,
         "taxonomy": taxonomy.migrate,
     }
     fn = dispatch.get(rtype)
