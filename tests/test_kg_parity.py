@@ -33,7 +33,14 @@ IMPLEMENTED = {
     "WorkTestFPL": "work",
     "PubinfoTest": "pubinfo",
     "ImagegroupTest": "imagegroup",
+    "PR99NCUL01": "product",
+    "PR1CTC17": "product",
+    "withdrawn-test": "office",
 }
+
+# ScanrequestTest.ttl is stale golden data: the reference itself has the
+# isomorphism assert commented out (MigrationTest.java:447) and its
+# migrator is a no-op (ScanrequestMigration.java:44-55).
 
 
 @pytest.mark.parametrize("name", sorted(IMPLEMENTED))

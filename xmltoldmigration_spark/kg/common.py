@@ -93,6 +93,7 @@ class Ctx:
     work_ric: dict = field(default_factory=dict)
     scans_low_quality: dict = field(default_factory=dict)
     work_vol_names: dict = field(default_factory=dict)  # workId -> {volnum: (value, tag)}
+    subscriptions: dict = field(default_factory=dict)  # subscriber -> [collection] (J19)
 
     def error(self, etype: str, rid: str, sub_rid: str, prop: str, msg: str):
         self.result.errors.append((etype, rid, sub_rid, prop, msg))
@@ -136,6 +137,16 @@ def create_admin_root(em: Emitter, main: str) -> str:
     adm = BDA + local
     em.add(adm, RDF_TYPE, iri(ADM + "AdminData"))
     em.add(adm, ADM + "adminAbout", iri(main))
+    em.add(adm, ADM + "graphId", iri(BDG + local))
+    em.add(adm, BDO + "isRoot", boolean(True))
+    return adm
+
+
+def create_admin_root_for(em: Emitter, main_iri: str, local: str) -> str:
+    """createAdminRoot for a root outside the bdr namespace (subscribers)."""
+    adm = BDA + local
+    em.add(adm, RDF_TYPE, iri(ADM + "AdminData"))
+    em.add(adm, ADM + "adminAbout", iri(main_iri))
     em.add(adm, ADM + "graphId", iri(BDG + local))
     em.add(adm, BDO + "isRoot", boolean(True))
     return adm

@@ -27,7 +27,7 @@ from xmltoldmigration_spark.kg.model import ADM
 # outline part RIDs (workId_md5[0:6]) are reproducible and kept verbatim.
 _FACET_RE = re.compile(
     r"^(?:http://purl\.bdrc\.io/(?:resource/(?:NM|EV|NT|CR|CL|TT|ID|VL|CM|EL|EP|ER|LH|MF)"
-    r"|admindata/LG)|http://www\.w3\.org/2006/vcard/ns#VA)[0-9A-F]{8,20}$"
+    r"|admindata/LG|resource-nc/auth/SO)|http://www\.w3\.org/2006/vcard/ns#VA)[0-9A-F]{8,20}$"
 )
 
 _EXCLUDED_PREDICATES = frozenset(
