@@ -36,6 +36,7 @@ IMPLEMENTED = {
     "PR99NCUL01": "product",
     "PR1CTC17": "product",
     "withdrawn-test": "office",
+    "OutlineTest": "outline",
 }
 
 # ScanrequestTest.ttl is stale golden data: the reference itself has the

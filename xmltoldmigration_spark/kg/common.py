@@ -883,8 +883,11 @@ def add_descriptions(
             else:
                 em.add(rez, SKOS + "altLabel", lit(lv[0], lv[1]))
             continue
-        if prop_uri == BDO + "catalogInfo" and main_a is not None:
-            main_a[0].add(main_a[1], prop_uri, lit(lv[0], lv[1]))
+        if prop_uri == BDO + "catalogInfo":
+            # catalogInfo lands on the abstract work only; dropped when
+            # there is none (CommonMigration.java:1463-1468)
+            if main_a is not None:
+                main_a[0].add(main_a[1], prop_uri, lit(lv[0], lv[1]))
         elif prop_uri is not None:
             em.add(rez, prop_uri, lit(lv[0], lv[1]))
     if (fpl_id is None) != (fpl_room is None):
@@ -1187,3 +1190,116 @@ def add_agent_as_creator(
     em.add(target, BDO + "creator", iri(creator_node))
     em.add(creator_node, BDO + "agent", iri(person))
     em.add(creator_node, BDO + "role", iri(creator_role_uri(ctx, role_key)))
+
+
+# ---------------------------------------------------------------- locations
+
+FACET_CONTENT_LOC = ("CL", BDR)
+
+
+def _add_location_int_or_string(ctx: Ctx, em: Emitter, main: str, loc: str,
+                                current: ET.Element, attribute: str, propname: str,
+                                do_not_add_if_equals: int | None) -> int:
+    """CommonMigration.addLocationIntOrString:1903-1924."""
+    import re
+
+    value = re.sub(r",$", "", attr(current, attribute)).strip()
+    res = -1
+    if value:
+        try:
+            intval = int(value)
+            if intval < 1:
+                ctx.error("gen", _local(main), _local(main), "location",
+                          f"`{propname}` must be a positive integer, got `{value}`")
+                em.add(loc, BDO + propname, lit(value))
+            else:
+                if do_not_add_if_equals is None or intval != do_not_add_if_equals:
+                    em.add(loc, BDO + propname, integer(intval))
+                res = intval
+        except ValueError:
+            ctx.error("gen", _local(main), _local(main), "location",
+                      f"`{propname}` must be a positive integer, got `{value}`")
+            em.add(loc, BDO + propname, lit(value))
+    return res
+
+
+def add_locations(ctx: Ctx, em: Emitter, main: str, root: ET.Element, ns: str,
+                  work_id: str, outline_id: str, outline_node: str,
+                  outline_node_title: str | None):
+    """CommonMigration.addLocations:1950-2037 -> (beginVol, beginPage,
+    endVol, endPage) or None."""
+    nodes = children(root, ns, "location")
+    if not nodes:
+        return None
+    volume1 = -1
+    page1 = -1
+    page2 = -1
+    loc = em.facet_node(FACET_CONTENT_LOC, BDO + "ContentLocation")
+    loc_has_props = False
+    res = None
+    for i, current in enumerate(nodes):
+        if i > 1:
+            ctx.error("outline", work_id, outline_node, "location",
+                      f'title: "{outline_node_title}" too many locations, it should only have 2')
+            break
+        if i == 0 and attr(current, "type") == "folio":
+            em.add(loc, BDO + "contentLocationByFolio", boolean(True))
+            loc_has_props = True
+        value = attr(current, "work").strip()
+        if not work_id:
+            if value:
+                em.add(loc, BDO + "contentLocationInstance", iri(BDR + value))
+                loc_has_props = True
+        elif value and value != work_id:
+            ctx.error("outline", work_id, outline_node, "location",
+                      f'title: "{outline_node_title}" has locations in work {value} instead of {work_id}')
+        end = "" if i == 0 else "End"
+        volume = _add_location_int_or_string(
+            ctx, em, main, loc, current, "vol", "contentLocation" + end + "Volume", volume1 if i else None
+        )
+        if volume != -1:
+            loc_has_props = loc_has_props or (i == 0 or volume != volume1)
+        if i == 0:
+            volume1 = volume
+        if i == 1 and volume != -1 and volume1 != -1 and volume < volume1:
+            ctx.error("outline", work_id, outline_node, "location",
+                      f'title: "{outline_node_title}", end location volume is before beginning location volume')
+        page = _add_location_int_or_string(
+            ctx, em, main, loc, current, "page", "contentLocation" + end + "Page", None
+        )
+        if page != -1:
+            loc_has_props = True
+        if i == 0:
+            page1 = page
+        else:
+            page2 = page
+        if i == 1 and page != -1 and page1 != -1 and page < page1 and volume == volume1:
+            ctx.error("outline", work_id, outline_node, "location",
+                      f'title: "{outline_node_title}", end location page is before beginning location')
+        if _add_location_int_or_string(ctx, em, main, loc, current, "phrase",
+                                       "contentLocation" + end + "Phrase", None) != -1:
+            loc_has_props = True
+        if _add_location_int_or_string(ctx, em, main, loc, current, "line",
+                                       "contentLocation" + end + "Line", None) != -1:
+            loc_has_props = True
+        if i == 1 and page != -1:
+            res = (volume1, page1, volume, page)
+        value = attr(current, "side")
+        if value:
+            em.add(loc, BDO + "contentLocation" + end + "Side", lit(value))
+            loc_has_props = True
+
+    # the reference's emptiness check (java:2020-2030) is vacuous: the
+    # facet node always carries its rdf:type statement, so the location
+    # link is always added
+    em.add(main, BDO + "contentLocation", iri(loc))
+    if work_id:
+        em.add(loc, BDO + "contentLocationInstance", iri(BDR + work_id))
+
+    if volume1 == -1 and (page1 == -1 or page2 == -1):
+        ctx.error("outline", work_id, outline_node, "location",
+                  f'title: "{outline_node_title}", missing volume, beginpage or endpage')
+    elif volume1 != -1 and (page1 == -1 or page2 == -1):
+        ctx.error("outline", work_id, outline_node, "location",
+                  f'title: "{outline_node_title}", vol. {volume1}, missing beginpage or endpage')
+    return res
