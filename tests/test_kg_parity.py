@@ -37,6 +37,7 @@ IMPLEMENTED = {
     "PR1CTC17": "product",
     "withdrawn-test": "office",
     "OutlineTest": "outline",
+    "TaxonomyTest": "taxonomy",
 }
 
 # ScanrequestTest.ttl is stale golden data: the reference itself has the
