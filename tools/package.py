@@ -1,0 +1,23 @@
+#!/usr/bin/env python
+"""Build dist/xmltoldmigration_spark.zip for spark-submit --py-files."""
+
+from __future__ import annotations
+
+import zipfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def main() -> None:
+    dist = REPO / "dist"
+    dist.mkdir(exist_ok=True)
+    out = dist / "xmltoldmigration_spark.zip"
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for p in sorted((REPO / "xmltoldmigration_spark").rglob("*.py")):
+            z.write(p, p.relative_to(REPO))
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

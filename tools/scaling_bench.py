@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""One scaling-probe run: the full KG pipeline at a given local[N] level.
+
+Prints one JSON line {"cpus": N, "wall_s": ..., "triples": ...}.
+The N-vs-4N comparison (BASELINE.json north_rule) runs this twice via
+kg/bench.run_scaling_probe — fresh JVM per level so executor-thread count
+is the only variable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpus", type=int, required=True)
+    ap.add_argument("--n", type=int, default=20000)
+    args = ap.parse_args()
+
+    from xmltoldmigration_spark.plans.pipeline import Pipeline
+    from xmltoldmigration_spark.session import get_spark
+    from xmltoldmigration_spark.sources.corpus import load_synthetic_src
+
+    spark = get_spark(
+        app_name=f"kg-scaling-{args.cpus}",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=max(args.cpus, 8),
+    )
+    out = tempfile.mkdtemp(prefix=f"kgscale{args.cpus}_")
+    try:
+        src = load_synthetic_src(spark, args.n, num_partitions=args.cpus * 2)
+        t0 = time.perf_counter()
+        final = Pipeline(spark, out).run(src, resume=False)
+        triples = final.count()
+        wall = time.perf_counter() - t0
+        print(json.dumps({"cpus": args.cpus, "wall_s": round(wall, 3), "triples": triples}))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

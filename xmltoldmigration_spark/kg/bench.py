@@ -1,0 +1,82 @@
+"""KG-pipeline throughput bench (triples/sec) + N-vs-4N scaling probe.
+
+BASELINE.json's metric is triples/sec with >=0.8 throughput scaling
+efficiency between N and 4N executors.  In this sandbox the stand-in is
+the same job at local[8] vs local[32] (per the driver instruction): the
+corpus is deterministic and identical at both parallelism levels
+(sources/corpus.py), so the ratio measures the engine, not the data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent.parent
+
+# records per benchmark corpus keyed by scale factor of the driver dir
+_N_BY_SF = {"0.001": 300, "0.01": 3000, "0.1": 20000}
+
+
+def corpus_size_for(sf_dir: str) -> int:
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return _N_BY_SF.get(sf, 3000)
+
+
+def bench_kg_pipeline(spark, n: int | None = None) -> dict:
+    """Run the full pipeline over the synthetic corpus; report triples/sec."""
+    from xmltoldmigration_spark.plans.pipeline import Pipeline
+    from xmltoldmigration_spark.sources.corpus import load_synthetic_src
+
+    n = n or corpus_size_for(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    out = tempfile.mkdtemp(prefix="kgbench_")
+    try:
+        src = load_synthetic_src(spark, n)
+        t0 = time.perf_counter()
+        final = Pipeline(spark, out).run(src, resume=False)
+        triples = final.count()
+        wall = time.perf_counter() - t0
+        return {
+            "kg_records": n,
+            "kg_triples": triples,
+            "kg_wall_s": round(wall, 3),
+            "kg_triples_per_s": round(triples / wall, 1),
+        }
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def run_scaling_probe(n: int = 20000, cpus_low: int = 8, cpus_high: int = 32) -> dict:
+    """Same job, two parallelism levels, fresh JVM each -> scaling
+    efficiency = T(low)/T(high) / (high/low).  Invoked by tools/scaling_bench.py."""
+    results = {}
+    for cpus in (cpus_low, cpus_high):
+        cmd = [
+            sys.executable,
+            str(REPO / "tools" / "scaling_bench.py"),
+            "--cpus", str(cpus), "--n", str(n),
+        ]
+        out = subprocess.run(cmd, capture_output=True, text=True, cwd=str(REPO))
+        line = out.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    low, high = results[cpus_low], results[cpus_high]
+    speedup = low["wall_s"] / high["wall_s"]
+    efficiency = speedup / (cpus_high / cpus_low)
+    return {
+        "records": n,
+        "cpus_low": cpus_low,
+        "cpus_high": cpus_high,
+        "wall_s_low": low["wall_s"],
+        "wall_s_high": high["wall_s"],
+        "triples": high["triples"],
+        "throughput_low": round(low["triples"] / low["wall_s"], 1),
+        "throughput_high": round(high["triples"] / high["wall_s"], 1),
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+    }

@@ -1,0 +1,129 @@
+"""Vectorized parse stage: src table -> tagged output rows (stage 1).
+
+One Arrow-batched mapInPandas pass replaces the reference's per-type
+sequential migrators (MigrationApp.migrateType:572-638).  Each input
+record is record-local (SURVEY.md §3.2), so the stage is embarrassingly
+parallel; mega-records (outlines emitting 1e4+ triples) are bounded by
+spark.sql.execution.arrow.maxRecordsPerBatch and by chunked yields here.
+
+Output is a single tagged union (column `stream`) so one scan feeds all
+downstream stages:
+
+    stream='triple'     graph/subject/predicate/o_kind/o_value/o_lang/o_datatype
+    stream='symmetric'  subject=dest RID, predicate=prop local, o_value=src RID
+    stream='error'      subject=rid, predicate=etype, o_value=message
+    stream='link'       subject=src rid, predicate=prop, o_value=dst rid
+    stream='status'     subject=rid, o_value=status           (J3 input)
+    stream='redirect'   subject=old rid, o_value=new rid      (J1 runtime input)
+    stream='content'    subject=id, o_value=text              (K3 side outputs)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+PARSED_SCHEMA = (
+    "stream string, graph string, subject string, predicate string, "
+    "o_kind string, o_value string, o_lang string, o_datatype string"
+)
+
+_CHUNK = 4000
+
+
+def _parse_batches(batches):
+    import pandas as pd
+
+    from xmltoldmigration_spark.kg.common import Ctx
+    from xmltoldmigration_spark.kg.migrators import migrate_record
+    from xmltoldmigration_spark.sources.corpus import rtype_from_path
+
+    cols = list(PARSED_SCHEMA.replace(" string", "").split(", "))
+    out: list[tuple] = []
+
+    def flush():
+        nonlocal out
+        if out:
+            yield pd.DataFrame(out, columns=cols)
+            out = []
+
+    for pdf in batches:
+        for path, content in zip(pdf["path"], pdf["content"]):
+            rtype = rtype_from_path(path)
+            rid = path.rsplit("/", 1)[-1].removesuffix(".xml")
+            ctx = Ctx()
+            try:
+                emitters = migrate_record(rtype, content, ctx)
+            except Exception as e:  # record-level failure -> error row
+                out.append(("error", rid, rid, "parse", None, f"{type(e).__name__}: {e}", None, None))
+                continue
+            import xml.etree.ElementTree as ET
+
+            status = ET.fromstring(content).get("status", "")
+            out.append(("status", rid, rid, None, None, status, None, None))
+            for em in emitters:
+                for (g, s, p, k, v, lang, dt) in em.rows():
+                    out.append(("triple", g, s, p, k, v, lang, dt))
+            for (dest, prop, src) in ctx.result.symmetric:
+                out.append(("symmetric", dest, dest, prop, None, src, None, None))
+            for (etype, erid, sub, prop, msg) in ctx.result.errors:
+                out.append(("error", erid, sub, etype + ":" + (prop or ""), None, msg, None, None))
+            for (src, prop, dst) in ctx.result.links:
+                out.append(("link", rid, src, prop, None, dst, None, None))
+            for (kind, payload) in ctx.result.contents:
+                if kind == "ridReplacement":
+                    old, _, new = payload.partition(",")
+                    out.append(("redirect", rid, old, None, None, new, None, None))
+                else:
+                    out.append(("content", rid, kind, None, None, payload, None, None))
+            if len(out) >= _CHUNK:
+                yield from flush()
+    yield from flush()
+
+
+def parse_src(src: DataFrame) -> DataFrame:
+    """src(repo,path,commit,lang,content) -> tagged parse output."""
+    return src.select("path", "content").mapInPandas(_parse_batches, schema=PARSED_SCHEMA)
+
+
+def split_streams(parsed: DataFrame) -> dict[str, DataFrame]:
+    """Split the tagged union into per-stream DataFrames.
+
+    Caller should persist `parsed` first so each filter doesn't re-run the
+    parse (plans/pipeline.py checkpoints it to parquet, which also gives
+    resumability)."""
+    from pyspark.sql import functions as F
+
+    out = {}
+    out["triples"] = parsed.filter(F.col("stream") == "triple").select(
+        "graph", "subject", "predicate", "o_kind", "o_value", "o_lang", "o_datatype"
+    )
+    out["symmetric"] = parsed.filter(F.col("stream") == "symmetric").select(
+        F.col("subject").alias("dest_rid"),
+        F.col("predicate").alias("prop"),
+        F.col("o_value").alias("src_rid"),
+    )
+    out["errors"] = parsed.filter(F.col("stream") == "error").select(
+        F.col("graph").alias("rid"),
+        F.col("subject").alias("sub_rid"),
+        F.col("predicate").alias("etype"),
+        F.col("o_value").alias("message"),
+    )
+    out["links"] = parsed.filter(F.col("stream") == "link").select(
+        F.col("subject").alias("src_rid"),
+        F.col("predicate").alias("prop"),
+        F.col("o_value").alias("dst_rid"),
+    )
+    out["statuses"] = parsed.filter(F.col("stream") == "status").select(
+        F.col("subject").alias("rid"), F.col("o_value").alias("status")
+    )
+    out["redirects"] = parsed.filter(F.col("stream") == "redirect").select(
+        F.col("subject").alias("old_rid"), F.col("o_value").alias("new_rid")
+    )
+    out["contents"] = parsed.filter(F.col("stream") == "content").select(
+        F.col("graph").alias("rid"),
+        F.col("subject").alias("kind"),
+        F.col("o_value").alias("payload"),
+    )
+    return out

@@ -1,0 +1,258 @@
+"""The KG-construction pipeline: parse -> link -> symmetric -> canonicalize
+-> write, with per-stage checkpointing and resume (SURVEY.md §3.4).
+
+Each stage materializes to parquet under `out_dir/<stage>/` and records a
+lineage row (stage, partitions, rows, value hash, wall seconds) in
+`out_dir/_lineage/`.  A `_DONE` marker makes the stage skippable: rerunning
+the pipeline after a failure resumes mid-pipeline (north_rule
+resumability), because every stage is a pure function of the previous
+stage's parquet + the deterministic authority tables.
+
+Scale notes (100 TB / 1000 executors):
+- stage 1 (parse) is shuffle-free mapInPandas over the Iceberg scan;
+  partition pruning on record type comes free from the `path` predicate.
+- stages 2-4 shuffle only the narrow columns they join on; all authority
+  joins are broadcast (< 100 MB side).
+- the triple table is written partitioned by rdf-type group and hash
+  bucket over subject (the reference's own md5-sharding, SURVEY §1.2),
+  so downstream per-entity reads prune to one bucket.
+- AQE handles skew (hot objects like bdr:LangBo); the symmetric-completion
+  aggregation is a two-phase hash aggregate by construction
+  (dropDuplicates = partial + final).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xmltoldmigration_spark.kg.parse import parse_src, split_streams
+
+N_SUBJECT_BUCKETS = 64
+
+
+class Pipeline:
+    def __init__(self, spark: SparkSession, out_dir: str):
+        self.spark = spark
+        self.out = Path(out_dir)
+        self.out.mkdir(parents=True, exist_ok=True)
+        (self.out / "_lineage").mkdir(exist_ok=True)
+
+    # ------------------------------------------------------------ plumbing
+
+    def _stage_dir(self, name: str) -> Path:
+        return self.out / name
+
+    def _done(self, name: str) -> bool:
+        return (self._stage_dir(name) / "_DONE").exists()
+
+    def _write_stage(self, name: str, df: DataFrame, partition_by: list[str] | None = None):
+        t0 = time.time()
+        path = str(self._stage_dir(name))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        written = self.spark.read.parquet(path)
+        stats = written.select(
+            F.count(F.lit(1)).alias("rows"),
+            # order-insensitive content hash: xor of per-row hashes
+            # (bit_xor: no ANSI overflow, partition-order invariant)
+            F.expr(
+                "bit_xor(xxhash64(" + ", ".join(written.columns) + "))"
+            ).alias("value_hash"),
+        ).collect()[0]
+        lineage = {
+            "stage": name,
+            "rows": stats["rows"],
+            "value_hash": str(stats["value_hash"]),
+            "wall_s": round(time.time() - t0, 3),
+            "partitions": written.rdd.getNumPartitions(),
+        }
+        with open(self.out / "_lineage" / f"{name}.json", "w") as f:
+            json.dump(lineage, f)
+        (self._stage_dir(name) / "_DONE").touch()
+        return written
+
+    def _read_stage(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(str(self._stage_dir(name)))
+
+    def lineage(self) -> list[dict]:
+        rows = []
+        for p in sorted((self.out / "_lineage").glob("*.json")):
+            rows.append(json.loads(p.read_text()))
+        return rows
+
+    # ------------------------------------------------------------ stages
+
+    def run(self, src: DataFrame, resume: bool = True) -> DataFrame:
+        # stage 1: PARSE (record-local, no shuffle)
+        if resume and self._done("parsed"):
+            parsed = self._read_stage("parsed")
+        else:
+            parsed = self._write_stage("parsed", parse_src(src))
+        streams = split_streams(parsed)
+
+        # stage 2: LINK (J1 runtime redirects, J3 dangling report)
+        if resume and self._done("linked"):
+            triples = self._read_stage("linked")
+        else:
+            triples = self._link(streams)
+            triples = self._write_stage("linked", triples)
+
+        # stage 3: SYMMETRIC COMPLETION (A1)
+        if resume and self._done("completed"):
+            triples = self._read_stage("completed")
+        else:
+            triples = self._complete_symmetric(triples, streams["symmetric"])
+            triples = self._write_stage("completed", triples)
+
+        # stage 4: CANONICALIZE (G1/G2)
+        if resume and self._done("canonical"):
+            triples = self._read_stage("canonical")
+        else:
+            triples = self._canonicalize(triples)
+            triples = self._write_stage("canonical", triples)
+
+        # stage 5: WRITE final graph table partitioned (type group, bucket)
+        if resume and self._done("graph"):
+            final = self._read_stage("graph")
+        else:
+            final = self._finalize(triples)
+            final = self._write_stage("graph", final, partition_by=["type_part"])
+
+        # side tables (errors / dangling links) — small, written last
+        if not (resume and self._done("errors")):
+            self._write_stage("errors", streams["errors"])
+        if not (resume and self._done("dangling")):
+            self._write_stage("dangling", self._dangling(streams))
+        return final
+
+    def _link(self, streams: dict) -> DataFrame:
+        """J1: apply run-time discovered redirects (withdrawn records) to
+        IRI objects.  The static ridReplacements table was already applied
+        record-locally in the parse stage (MigrationHelpers.sanitizeRID)."""
+        triples = streams["triples"]
+        redirects = streams["redirects"].dropDuplicates(["old_rid"])
+        bdr = "http://purl.bdrc.io/resource/"
+        red = redirects.select(
+            F.concat(F.lit(bdr), "old_rid").alias("_old_iri"),
+            F.concat(F.lit(bdr), "new_rid").alias("_new_iri"),
+        )
+        return (
+            triples.join(
+                F.broadcast(red),
+                (triples.o_kind == "iri") & (triples.o_value == F.col("_old_iri")),
+                "left",
+            )
+            .withColumn("o_value", F.coalesce("_new_iri", "o_value"))
+            .drop("_old_iri", "_new_iri")
+        )
+
+    def _complete_symmetric(self, triples: DataFrame, symmetric: DataFrame) -> DataFrame:
+        """A1: queued inverse edges land in their destination graph iff
+        that graph was migrated (the reference only patches existing files,
+        MigrationApp.insertMissingSymetricTriples:547-568), then dedup."""
+        bdr = "http://purl.bdrc.io/resource/"
+        bdo = "http://purl.bdrc.io/ontology/core/"
+        graphs = triples.select("graph").distinct()
+        inverse = (
+            symmetric.dropDuplicates(["dest_rid", "prop", "src_rid"])
+            .join(graphs, symmetric.dest_rid == graphs.graph, "leftsemi")
+            .select(
+                F.col("dest_rid").alias("graph"),
+                F.concat(F.lit(bdr), "dest_rid").alias("subject"),
+                F.concat(F.lit(bdo), "prop").alias("predicate"),
+                F.lit("iri").alias("o_kind"),
+                F.concat(F.lit(bdr), "src_rid").alias("o_value"),
+                F.lit(None).cast("string").alias("o_lang"),
+                F.lit(None).cast("string").alias("o_datatype"),
+            )
+        )
+        return triples.unionByName(inverse).dropDuplicates(
+            ["graph", "subject", "predicate", "o_kind", "o_value", "o_lang", "o_datatype"]
+        )
+
+    def _canonicalize(self, triples: DataFrame) -> DataFrame:
+        """G1/G2: connected components over the duplicate-cluster pair
+        lists -> representative rewrite of subject and object columns.
+
+        The pair lists are authority data (~130k rows -> broadcastable);
+        at 100 TB the same plan holds because the rewrite side stays small
+        while the triple side never shuffles (two broadcast joins)."""
+        from xmltoldmigration_spark.kg.authority import get_authority
+        from xmltoldmigration_spark.operators.connected_components import (
+            connected_components,
+        )
+
+        auth = get_authority()
+        pairs = [(k, v) for k, v in auth.clusters.items()]
+        if not pairs:
+            return triples
+        edges = self.spark.createDataFrame(pairs, ["src", "dst"])
+        comp = connected_components(edges)
+        bdr = "http://purl.bdrc.io/resource/"
+        rep = comp.filter(F.col("node") != F.col("comp")).select(
+            F.concat(F.lit(bdr), "node").alias("_n"),
+            F.concat(F.lit(bdr), "comp").alias("_c"),
+        )
+        t = (
+            triples.join(F.broadcast(rep), triples.subject == F.col("_n"), "left")
+            .withColumn("subject", F.coalesce("_c", "subject"))
+            .drop("_n", "_c")
+        )
+        t = (
+            t.join(
+                F.broadcast(rep),
+                (t.o_kind == "iri") & (t.o_value == F.col("_n")),
+                "left",
+            )
+            .withColumn("o_value", F.coalesce("_c", "o_value"))
+            .drop("_n", "_c")
+        )
+        return t.dropDuplicates(
+            ["graph", "subject", "predicate", "o_kind", "o_value", "o_lang", "o_datatype"]
+        )
+
+    def _finalize(self, triples: DataFrame) -> DataFrame:
+        """Partitioning columns: rdf-type group of the graph's root + a
+        hash bucket over subject (the reference's md5 sharding,
+        MigrationApp.getDstFileName:133-147)."""
+        rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+        bdr = "http://purl.bdrc.io/resource/"
+        roots = (
+            triples.filter(
+                (F.col("predicate") == rdf_type)
+                & (F.col("subject") == F.concat(F.lit(bdr), F.col("graph")))
+            )
+            .groupBy("graph")
+            .agg(F.min("o_value").alias("_root_type"))
+            .select(
+                "graph",
+                F.regexp_extract("_root_type", r"([^/#]+)$", 1).alias("type_part"),
+            )
+        )
+        return (
+            triples.join(F.broadcast(roots), "graph", "left")
+            .withColumn("type_part", F.coalesce("type_part", F.lit("Admin")))
+            .withColumn(
+                "subject_bucket",
+                F.pmod(F.xxhash64("subject"), F.lit(N_SUBJECT_BUCKETS)).cast("int"),
+            )
+        )
+
+    def _dangling(self, streams: dict) -> DataFrame:
+        """J3: links to targets that are absent or not released."""
+        links = streams["links"]
+        released = streams["statuses"].filter(F.col("status") == "released").select(
+            F.col("rid").alias("dst_rid")
+        )
+        return links.join(released, "dst_rid", "left_anti")
+
+
+def run_pipeline(spark: SparkSession, src: DataFrame, out_dir: str, resume: bool = True) -> DataFrame:
+    return Pipeline(spark, out_dir).run(src, resume=resume)

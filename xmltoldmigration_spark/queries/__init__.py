@@ -44,6 +44,7 @@ def registry() -> dict[str, QuerySpec]:
     from xmltoldmigration_spark.queries import (  # noqa: F401
         dedup,
         graph,
+        kg,
         multimodal,
         relational,
         similarity,

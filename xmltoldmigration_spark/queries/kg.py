@@ -1,0 +1,111 @@
+"""KG-construction pipeline embodiments for the driver harness.
+
+These run the real pipeline over the deterministic synthetic corpus
+(sources/corpus.py) — XML parsing is not expressible in the DuckDB
+oracle's SQL over the testdata views, so these entries are rows-only
+checks (oracle=None), as the driver contract allows for genuinely
+non-SQL ops.  Determinism: the corpus is a pure function of (seed, i),
+so row counts and values are stable across runs and partitionings
+(asserted by tests/test_kg_pipeline.py::test_synthetic_corpus_deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from xmltoldmigration_spark.queries import register
+
+_N_BY_SF = {"0.001": 200, "0.01": 1000, "0.1": 4000}
+
+
+def _n_for(sf_dir: str) -> int:
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    return _N_BY_SF.get(sf, 1000)
+
+
+def _src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xmltoldmigration_spark.sources.corpus import load_synthetic_src
+
+    return load_synthetic_src(spark, _n_for(sf_dir))
+
+
+@register(
+    "kg_parse_triple_extraction",
+    oracle=None,
+    survey_ref="S1/S2 + §3.2 parse stage: XML -> candidate triples via mapInPandas",
+)
+def kg_parse_triple_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xmltoldmigration_spark.kg.parse import parse_src, split_streams
+
+    parsed = parse_src(_src(spark, sf_dir))
+    triples = split_streams(parsed)["triples"]
+    return (
+        triples.groupBy("predicate")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("predicate")
+    )
+
+
+@register(
+    "kg_symmetric_completion",
+    oracle=None,
+    survey_ref="A1: inverse-edge completion (union + semi-join + dedup)",
+)
+def kg_symmetric_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xmltoldmigration_spark.kg.parse import parse_src, split_streams
+
+    streams = split_streams(parse_src(_src(spark, sf_dir)).cache())
+    triples, symmetric = streams["triples"], streams["symmetric"]
+    bdr = "http://purl.bdrc.io/resource/"
+    bdo = "http://purl.bdrc.io/ontology/core/"
+    graphs = triples.select("graph").distinct()
+    inverse = (
+        symmetric.dropDuplicates(["dest_rid", "prop", "src_rid"])
+        .join(graphs, symmetric.dest_rid == graphs.graph, "leftsemi")
+        .select(
+            F.col("dest_rid").alias("graph"),
+            F.concat(F.lit(bdr), "dest_rid").alias("subject"),
+            F.concat(F.lit(bdo), "prop").alias("predicate"),
+            F.concat(F.lit(bdr), "src_rid").alias("o_value"),
+        )
+    )
+    return inverse.groupBy("predicate").agg(F.count(F.lit(1)).alias("n")).orderBy("predicate")
+
+
+@register(
+    "kg_dangling_link_report",
+    oracle=None,
+    survey_ref="J3: referential-integrity anti-join over extracted links",
+)
+def kg_dangling_link_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xmltoldmigration_spark.kg.parse import parse_src, split_streams
+
+    streams = split_streams(parse_src(_src(spark, sf_dir)).cache())
+    links = streams["links"]
+    released = streams["statuses"].filter(F.col("status") == "released").select(
+        F.col("rid").alias("dst_rid")
+    )
+    return (
+        links.join(released, "dst_rid", "left_anti")
+        .groupBy("prop")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prop")
+    )
+
+
+@register(
+    "kg_full_pipeline_by_type",
+    oracle=None,
+    survey_ref="§3.4 stages 1-5 end-to-end: triples per rdf-type partition",
+)
+def kg_full_pipeline_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from xmltoldmigration_spark.plans.pipeline import Pipeline
+
+    out = tempfile.mkdtemp(prefix="kgq_")
+    final = Pipeline(spark, out).run(_src(spark, sf_dir), resume=False)
+    return (
+        final.groupBy("type_part").agg(F.count(F.lit(1)).alias("n")).orderBy("type_part")
+    )
