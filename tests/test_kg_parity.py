@@ -38,6 +38,9 @@ IMPLEMENTED = {
     "withdrawn-test": "office",
     "OutlineTest": "outline",
     "TaxonomyTest": "taxonomy",
+    "EtextTest": "etext",
+    "W1FEMC010006": "work",
+    "W1FEMC020013": "work",
 }
 
 # ScanrequestTest.ttl is stale golden data: the reference itself has the

@@ -59,12 +59,23 @@ def guess_type(name: str) -> str:
 def run_fixture(name: str, rtype: str | None = None):
     rtype = rtype or guess_type(name)
     content = (XML_DIR / f"{name}.xml").read_text(encoding="utf-8")
-    ctx = Ctx()
+    from xmltoldmigration_spark.kg.authority import get_authority
+
+    ctx = Ctx(auth=get_authority(test_mode=True))
     emitters = migrate_record(rtype, content, ctx)
     ours = []
     for em in emitters:
         ours.extend((s, p, k, v, lang, dt) for (_, s, p, k, v, lang, dt) in em.rows())
-    golden = parse_ttl_file(str(TTL_DIR / f"{name}.ttl"))
+    if rtype == "etext":
+        golden = parse_ttl_file(str(TTL_DIR / f"{name}-etext.ttl"))
+        golden += parse_ttl_file(str(TTL_DIR / f"{name}-item.ttl"))
+        expected_content = (TTL_DIR / f"{name}-content.txt").read_text(encoding="utf-8")
+        got = next(v for k, v in ctx.result.contents if k.startswith("etext:"))
+        assert got == expected_content.strip() or got.strip() == expected_content.strip(), (
+            "etext content mismatch:\n" + repr(got[:200]) + "\nvs\n" + repr(expected_content[:200])
+        )
+    else:
+        golden = parse_ttl_file(str(TTL_DIR / f"{name}.ttl"))
     return precision_recall(ours, golden), ctx
 
 

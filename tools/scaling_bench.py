@@ -40,10 +40,14 @@ def main() -> None:
     try:
         src = load_synthetic_src(spark, args.n, num_partitions=args.cpus * 2)
         t0 = time.perf_counter()
-        final = Pipeline(spark, out).run(src, resume=False)
+        pipe = Pipeline(spark, out)
+        final = pipe.run(src, resume=False)
         triples = final.count()
         wall = time.perf_counter() - t0
-        print(json.dumps({"cpus": args.cpus, "wall_s": round(wall, 3), "triples": triples}))
+        print(json.dumps({
+            "cpus": args.cpus, "wall_s": round(wall, 3), "triples": triples,
+            "stages": {r["stage"]: r["wall_s"] for r in pipe.lineage()},
+        }))
     finally:
         shutil.rmtree(out, ignore_errors=True)
         spark.stop()

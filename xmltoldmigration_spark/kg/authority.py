@@ -101,10 +101,25 @@ class Authority:
 
 
 _AUTHORITY: Authority | None = None
+_AUTHORITY_TEST: Authority | None = None
 
 
-def get_authority() -> Authority:
-    global _AUTHORITY
+def get_authority(test_mode: bool = False) -> Authority:
+    """test_mode mirrors MigrationTest.init (MigrationTest.java:72-77):
+    the duplicate-cluster maps are loaded by CommonMigration.initClusters,
+    which only MigrationApp.main calls — golden fixtures were produced
+    with those maps EMPTY."""
+    global _AUTHORITY, _AUTHORITY_TEST
+    if test_mode:
+        if _AUTHORITY_TEST is None:
+            full = get_authority(False)
+            import dataclasses
+
+            _AUTHORITY_TEST = dataclasses.replace(
+                full, clusters={}, clusters_manual={}, series_clusters={},
+                instance_clusters={},
+            )
+        return _AUTHORITY_TEST
     if _AUTHORITY is None:
         _AUTHORITY = Authority(
             rid_replacements=_csv_map("ridReplacements.csv"),

@@ -791,6 +791,88 @@ def normalize_prop_name(s: str, target_type: str = "description") -> str:
     return res[0].lower() + res[1:]
 
 
+FACET_MICROFILM = ("MF", BDR)
+FACET_DATE_INDICATION = ("DI", BDR)
+
+_ERA = {"beDate": ("EraBE", -543), "ceDate": ("EraCE", 0), "csDate": ("EraCS", 638)}
+
+
+def _find_or_make_microfilm(em: Emitter, rez: str) -> str:
+    for k in em.triples:
+        if k[0] == rez and k[1] == BDO + "microfilmItem" and k[2] == "iri":
+            return k[3]
+    mf = em.facet_node(FACET_MICROFILM, BDO + "ItemMicrofilmAsset")
+    em.add(rez, BDO + "microfilmItem", iri(mf))
+    return mf
+
+
+def _do_femc_desc(ctx: Ctx, em: Emitter, rez: str, dtype: str, value: str, main_a) -> bool:
+    """CommonMigration.doFEMCDesc:1227-1334 — FEMC-specific description
+    types (era dates C23, manuscript codes, microfilm, catalog pages)."""
+    if "FEMC" not in _local(rez):
+        return False
+    if dtype in _ERA:
+        if main_a is not None:
+            em_a, a_iri = main_a
+            try:
+                yr = int(value)
+            except ValueError:
+                return True
+            event = get_event(em_a, a_iri, "CompletedEvent", "workEvent", reuse=True)
+            date_ind = em_a.facet_node(FACET_DATE_INDICATION)
+            era, off = _ERA[dtype]
+            em_a.add(event, BDO + "dateIndication", iri(date_ind))
+            em_a.add(date_ind, BDO + "era", iri(BDR + era))
+            em_a.add(date_ind, BDO + "yearInEra", integer(yr))
+            if off == 0:
+                em_a.add(event, BDO + "onYear", ("lit", "%04d" % yr, None, XSD + "gYear"))
+            else:
+                nb = yr + off - 1 if off > 0 else yr + off
+                na = yr + off if off > 0 else yr + off + 1
+                em_a.add(event, BDO + "notBefore", ("lit", "%04d" % nb, None, XSD + "gYear"))
+                em_a.add(event, BDO + "notAfter", ("lit", "%04d" % na, None, XSD + "gYear"))
+        return True
+    if dtype == "oldCodes":
+        em.add(rez, BDO + "workKDPPOldId", lit(value))
+        return True
+    if dtype == "femcManuscriptCode":
+        add_identifier(em, rez, BDR + "FEMCManuscriptCode", T.normalize_string(value))
+        return True
+    if dtype == "filmCanister":
+        mf = _find_or_make_microfilm(em, rez)
+        em.add(mf, BDO + "microfilmCanister", lit(value))
+        return True
+    if dtype == "filmStrip":
+        mf = _find_or_make_microfilm(em, rez)
+        em.add(mf, BDO + "microfilmStrip", lit(value))
+        return True
+    if dtype == "catalogPage":
+        note = None
+        for k in list(em.triples):
+            if k[0] == rez and k[1] == BDO + "note" and k[2] == "iri":
+                cand = k[3]
+                for k2 in list(em.triples):
+                    if k2[0] == cand and k2[1] == BDO + "noteText" and k2[3].startswith("Catalog"):
+                        note = cand
+                        em.remove(cand, BDO + "noteText", (k2[2], k2[3], k2[4], k2[5]))
+                        break
+                if note:
+                    break
+        if note is None:
+            note = em.facet_node(FACET_NOTE, BDO + "Note")
+            em.add(note, BDO + "noteText", lit("Catalog"))
+            em.add(rez, BDO + "note", iri(note))
+        em.add(note, BDO + "contentLocationStatement", lit("pg. " + value))
+        return True
+    if dtype == "complete":
+        em.add(rez, BDO + "isComplete", boolean(value != "false"))
+        return True
+    if dtype == "fascicles":
+        em.add(rez, BDO + "hasFascicles", lit(value))
+        return False
+    return False
+
+
 def add_identifier(em: Emitter, rez: str, type_uri: str, value: str) -> None:
     node = em.facet_node(FACET_IDENTIFIER, type_uri)
     em.add(rez, BF + "identifiedBy", iri(node))
@@ -821,6 +903,8 @@ def add_descriptions(
         if not value:
             continue
         dtype = attr(current, "type").strip() or "noType"
+        if _do_femc_desc(ctx, em, rez, dtype, value, main_a):
+            continue
         langhint = description_type_needs_lang(dtype)
         if langhint is not None or (guess_label and dtype == "noType"):
             lv = get_literal(ctx, current, langhint or "en", "description", rez_local, rez_local)

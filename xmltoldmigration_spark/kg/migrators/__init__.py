@@ -43,6 +43,7 @@ def migrate_record(rtype: str, content: str, ctx: Ctx):
         outline,
         person,
         place,
+        etext,
         imagegroup,
         product,
         pubinfo,
@@ -64,6 +65,7 @@ def migrate_record(rtype: str, content: str, ctx: Ctx):
         "product": product.migrate,
         "pubinfo": pubinfo.migrate,
         "imagegroup": imagegroup.migrate,
+        "etext": etext.migrate,
         "taxonomy": taxonomy.migrate,
     }
     if rtype == "scanrequest":

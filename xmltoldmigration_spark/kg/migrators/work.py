@@ -406,7 +406,7 @@ def migrate(root: ET.Element, ctx: Ctx) -> list[Emitter]:
             elif content.startswith("Catalog:"):
                 note = _find_catalog_note(em, main)
                 if note is None:
-                    note = em.facet_node(C.FACET_NOTE)
+                    note = em.facet_node(C.FACET_NOTE, BDO + "Note")
                     em.add(note, BDO + "noteText", lit("Catalog"))
                     em.add(main, BDO + "note", iri(note))
                 cat = (

@@ -29,10 +29,20 @@ PARSED_SCHEMA = (
     "o_kind string, o_value string, o_lang string, o_datatype string"
 )
 
-_CHUNK = 4000
+_CHUNK = 20000
+
+
+_REPO_PATH = __file__.rsplit("/xmltoldmigration_spark/", 1)[0]
 
 
 def _parse_batches(batches):
+    # executor-side workers don't inherit the driver's sys.path mutations;
+    # mapInPandas closures are cloudpickled by value, so this nested-module
+    # import pattern keeps the package importable on any worker
+    import sys
+
+    if _REPO_PATH not in sys.path:
+        sys.path.insert(0, _REPO_PATH)
     import pandas as pd
 
     from xmltoldmigration_spark.kg.common import Ctx
@@ -84,7 +94,18 @@ def _parse_batches(batches):
 
 def parse_src(src: DataFrame) -> DataFrame:
     """src(repo,path,commit,lang,content) -> tagged parse output."""
-    return src.select("path", "content").mapInPandas(_parse_batches, schema=PARSED_SCHEMA)
+    repo = _REPO_PATH
+
+    def run(batches):
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from xmltoldmigration_spark.kg.parse import _parse_batches
+
+        return _parse_batches(batches)
+
+    return src.select("path", "content").mapInPandas(run, schema=PARSED_SCHEMA)
 
 
 def split_streams(parsed: DataFrame) -> dict[str, DataFrame]:

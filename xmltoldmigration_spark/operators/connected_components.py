@@ -36,6 +36,11 @@ def connected_components(
     `edges` must have two columns of the same orderable type. Isolated
     nodes appear only if present as a self-edge or in both columns.
     """
+    # cluster pair lists are tiny relative to the triple table; bound the
+    # task count so each min-propagation iteration isn't scheduling-bound
+    n = edges.rdd.getNumPartitions()
+    if n > 16:
+        edges = edges.coalesce(16)
     # undirected: symmetrize once, dedup
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))

@@ -53,30 +53,32 @@ class Pipeline:
     def _write_stage(self, name: str, df: DataFrame, partition_by: list[str] | None = None):
         t0 = time.time()
         path = str(self._stage_dir(name))
-        writer = df.write.mode("overwrite")
+        # lineage metrics ride along with the write via observe() — row
+        # count + order-insensitive content hash (bit_xor of row hashes,
+        # partition-order invariant) at zero extra passes
+        from pyspark.sql import Observation
+
+        obs = Observation(f"lineage_{name}")
+        observed = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.expr("bit_xor(xxhash64(" + ", ".join(df.columns) + "))").alias("value_hash"),
+        )
+        writer = observed.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        written = self.spark.read.parquet(path)
-        stats = written.select(
-            F.count(F.lit(1)).alias("rows"),
-            # order-insensitive content hash: xor of per-row hashes
-            # (bit_xor: no ANSI overflow, partition-order invariant)
-            F.expr(
-                "bit_xor(xxhash64(" + ", ".join(written.columns) + "))"
-            ).alias("value_hash"),
-        ).collect()[0]
+        stats = obs.get
         lineage = {
             "stage": name,
             "rows": stats["rows"],
             "value_hash": str(stats["value_hash"]),
             "wall_s": round(time.time() - t0, 3),
-            "partitions": written.rdd.getNumPartitions(),
         }
         with open(self.out / "_lineage" / f"{name}.json", "w") as f:
             json.dump(lineage, f)
         (self._stage_dir(name) / "_DONE").touch()
-        return written
+        return self.spark.read.parquet(path)
 
     def _read_stage(self, name: str) -> DataFrame:
         return self.spark.read.parquet(str(self._stage_dir(name)))
