@@ -52,7 +52,7 @@ def bench_kg_pipeline(spark, n: int | None = None) -> dict:
         shutil.rmtree(out, ignore_errors=True)
 
 
-def run_scaling_probe(n: int = 20000, cpus_low: int = 8, cpus_high: int = 32) -> dict:
+def run_scaling_probe(n: int = 400000, cpus_low: int = 8, cpus_high: int = 32) -> dict:
     """Same job, two parallelism levels, fresh JVM each -> scaling
     efficiency = T(low)/T(high) / (high/low).  Invoked by tools/scaling_bench.py."""
     results = {}

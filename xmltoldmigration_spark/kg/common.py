@@ -94,6 +94,35 @@ class Ctx:
     scans_low_quality: dict = field(default_factory=dict)
     work_vol_names: dict = field(default_factory=dict)  # workId -> {volnum: (value, tag)}
     subscriptions: dict = field(default_factory=dict)  # subscriber -> [collection] (J19)
+    # SymetricNormalization.normalizeOneDirection flags (java:44-62):
+    # the XML corpus runs (true, false); CSV transfers (EAP/CUDL) run
+    # (false, false) -> both directions kept
+    one_direction: bool = True
+    prefer_many: bool = False
+
+    @property
+    def add_item_for_work(self) -> bool:
+        return True if not self.one_direction else not self.prefer_many
+
+    @property
+    def add_work_has_item(self) -> bool:
+        return True if not self.one_direction else self.prefer_many
+
+    @property
+    def add_volume_of(self) -> bool:
+        return True if not self.one_direction else not self.prefer_many
+
+    @property
+    def add_item_has_volume(self) -> bool:
+        return True if not self.one_direction else self.prefer_many
+
+    @property
+    def add_work_haspart(self) -> bool:
+        return True if not self.one_direction else self.prefer_many
+
+    @property
+    def add_work_partof(self) -> bool:
+        return True if not self.one_direction else not self.prefer_many
 
     def error(self, etype: str, rid: str, sub_rid: str, prop: str, msg: str):
         self.result.errors.append((etype, rid, sub_rid, prop, msg))
@@ -698,9 +727,9 @@ def add_symmetric_property(
         em.add(BDR + source, BDO + prop, iri(BDR + dest))
         return
     sym_uri, is_main = sym
-    if not ONE_DIRECTION or is_main != 0:
+    if not ctx.one_direction or is_main != 0:
         em.add(BDR + source, BDO + prop, iri(BDR + dest))
-    if not ONE_DIRECTION or is_main != 1:
+    if not ctx.one_direction or is_main != 1:
         ctx.result.symmetric.append((dest, sym_uri, source))
 
 
@@ -944,7 +973,10 @@ def add_descriptions(
                 fpl_em = Emitter(graph=fpl_local)
                 fpl_item = BDR + fpl_local
                 adm = create_admin_root(fpl_em, fpl_item)
-                fpl_em.add(fpl_item, BDO + "itemForInstance", iri(rez))
+                if ctx.add_item_for_work:
+                    fpl_em.add(fpl_item, BDO + "itemForInstance", iri(rez))
+                if ctx.add_work_has_item:
+                    em.add(rez, BDO + "instanceHasItem", iri(fpl_item))
                 add_released(fpl_em, adm)
                 fpl_em.add(fpl_item, RDF_TYPE, iri(BDO + "Item"))
                 fpl_em.add(fpl_item, BDO + "itemLibrary", iri(BDR + FPL_LIBRARY_ID))

@@ -159,7 +159,7 @@ def migrate_one_etext(
             # back-links into work / image-instance graphs (J14) — emitted
             # as link rows, joined in the pipeline instead of file rewrites
             ctx.link(etext_id, "instanceHasReproduction", indicated_work_id)
-        if not C.PREFER_MANY:  # addItemForWork
+        if ctx.add_item_for_work:
             item_em.add(item, BDO + "instanceOf", iri(BDR + abstract_work_id))
 
     etext_em.add(etext, BDO + "eTextInInstance", iri(BDR + e_instance_id))

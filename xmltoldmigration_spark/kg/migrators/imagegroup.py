@@ -24,8 +24,7 @@ from xmltoldmigration_spark.kg.model import (
 
 NS = "http://www.tbrc.org/models/imagegroup#"
 
-ADD_VOLUME_OF = not C.PREFER_MANY  # ImagegroupMigration.addVolumeOf
-ADD_ITEM_HAS_VOLUME = C.PREFER_MANY
+
 
 
 def migrate(root: ET.Element, ctx: Ctx) -> list[Emitter]:
@@ -63,9 +62,9 @@ def migrate_into(
     if volume_number in vol_names:
         v, t = vol_names[volume_number]
         em.add(vol, SKOS + "prefLabel", lit(v, t))
-    if ADD_ITEM_HAS_VOLUME:
+    if ctx.add_item_has_volume:
         em.add(item, BDO + "instanceHasVolume", iri(vol))
-    if ADD_VOLUME_OF:
+    if ctx.add_volume_of:
         em.add(vol, BDO + "volumeOf", iri(item))
 
     C.add_status(em, adm_vol, status)

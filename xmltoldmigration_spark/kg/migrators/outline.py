@@ -52,10 +52,7 @@ _KEYWORD_BLACKLIST = re.compile(
     ]) + ")"
 )
 
-# normalizeOneDirection(true, false): haspart follows preferManyOverOne
-# (SymetricNormalization.java:52-53)
-ADD_WORK_HASPART = C.PREFER_MANY
-ADD_WORK_PARTOF = not C.PREFER_MANY
+
 
 
 class _State:
@@ -255,9 +252,9 @@ def _add_node(ctx, em, r, e, work_id, state, previous_loc, legacy_rid, part_inde
     em.add(node, BDO + "legacyOutlineNodeRID", lit(rid))
     em.add(node, RDF_TYPE, iri(BDO + "Instance"))
     em.add(node, BDO + "partIndex", integer(part_index))
-    if ADD_WORK_HASPART:
+    if ctx.add_work_haspart:
         em.add(r, BDO + "hasPart", iri(node))
-    if ADD_WORK_PARTOF:
+    if ctx.add_work_partof:
         em.add(node, BDO + "partOf", iri(r))
     em.add(node, BDO + "inRootInstance", iri(root_work))
 

@@ -378,7 +378,10 @@ def migrate_into(
         it_em = Emitter(graph=item_name)
         holding = BDR + item_name
         it_em.add(holding, RDF_TYPE, iri(BDO + "Item"))
-        it_em.add(holding, BDO + "itemForInstance", iri(main))  # addItemForWork=True
+        if ctx.add_item_for_work:
+            it_em.add(holding, BDO + "itemForInstance", iri(main))
+        if ctx.add_work_has_item:
+            em.add(main, BDO + "instanceHasItem", iri(BDR + item_name))
         _simple(ctx, it_em, current, holding, "exception", BDO + "itemException", C.EWTS)
         for sub in C.elems(root, NS, "shelf"):
             v = C.text_of(sub).strip()

@@ -458,7 +458,7 @@ def _add_volumes(ctx: Ctx, em: Emitter, main: str, root: ET.Element, work_id: st
     for j, volume in enumerate(volumes):
         if j == 0 and work_id not in ctx.auth.remove_w:
             item_local = "W" + work_id[1:] + IMAGE_ITEM_SUFFIX
-            if C.PREFER_MANY:  # addWorkHasItem
+            if ctx.add_work_has_item:
                 if redirection_instance_id is None:
                     em.add(main, BDO + "instanceHasReproduction", iri(BDR + item_local))
                 else:
