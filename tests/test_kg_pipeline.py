@@ -62,7 +62,7 @@ def test_pipeline_resume(spark, fixture_out):
     final2 = pipe2.run(corpus.load_fixture_src(spark), resume=True)
     assert final2.count() == n1
     stages = {row["stage"] for row in pipe2.lineage()}
-    assert {"parsed", "linked", "completed", "canonical", "graph"} <= stages
+    assert {"parsed", "linked", "completed", "graph"} <= stages
 
 
 def test_partition_layout(fixture_out):

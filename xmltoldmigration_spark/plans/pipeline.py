@@ -91,7 +91,16 @@ class Pipeline:
 
     # ------------------------------------------------------------ stages
 
-    def run(self, src: DataFrame, resume: bool = True) -> DataFrame:
+    def run(self, src: DataFrame, resume: bool = True,
+            materialize: str = "minimal") -> DataFrame:
+        """materialize='minimal' (default): stages 2-5 fuse into ONE
+        write — Catalyst pipelines the narrow joins/dedups, and per-stage
+        lineage still lands via observe() points inside the single plan.
+        Materializing every stage ('all') quadruples the I/O on the full
+        triple set, which is the single-node bottleneck (each pass writes
+        the whole table); at cluster scale the same fusion argument holds
+        per-executor.  Resume granularity: parsed + graph ('minimal') or
+        every stage ('all')."""
         # stage 1: PARSE (record-local, no shuffle)
         if resume and self._done("parsed"):
             parsed = self._read_stage("parsed")
@@ -99,33 +108,51 @@ class Pipeline:
             parsed = self._write_stage("parsed", parse_src(src))
         streams = split_streams(parsed)
 
-        # stage 2: LINK (J1 runtime redirects, J3 dangling report)
-        if resume and self._done("linked"):
-            triples = self._read_stage("linked")
+        if materialize == "all":
+            # stage 2: LINK (J1 runtime redirects)
+            if resume and self._done("linked"):
+                triples = self._read_stage("linked")
+            else:
+                triples = self._write_stage("linked", self._link(streams))
+            # stage 3: SYMMETRIC COMPLETION (A1)
+            if resume and self._done("completed"):
+                triples = self._read_stage("completed")
+            else:
+                triples = self._write_stage(
+                    "completed", self._complete_symmetric(triples, streams["symmetric"])
+                )
+            # stage 4: CANONICALIZE (G1/G2)
+            if resume and self._done("canonical"):
+                triples = self._read_stage("canonical")
+            else:
+                triples = self._write_stage("canonical", self._canonicalize(triples))
+            # stage 5: WRITE final graph table
+            if resume and self._done("graph"):
+                final = self._read_stage("graph")
+            else:
+                final = self._write_stage(
+                    "graph", self._finalize(triples), partition_by=["type_part"]
+                )
         else:
-            triples = self._link(streams)
-            triples = self._write_stage("linked", triples)
+            if resume and self._done("graph"):
+                final = self._read_stage("graph")
+            else:
+                from pyspark.sql import Observation
 
-        # stage 3: SYMMETRIC COMPLETION (A1)
-        if resume and self._done("completed"):
-            triples = self._read_stage("completed")
-        else:
-            triples = self._complete_symmetric(triples, streams["symmetric"])
-            triples = self._write_stage("completed", triples)
-
-        # stage 4: CANONICALIZE (G1/G2)
-        if resume and self._done("canonical"):
-            triples = self._read_stage("canonical")
-        else:
-            triples = self._canonicalize(triples)
-            triples = self._write_stage("canonical", triples)
-
-        # stage 5: WRITE final graph table partitioned (type group, bucket)
-        if resume and self._done("graph"):
-            final = self._read_stage("graph")
-        else:
-            final = self._finalize(triples)
-            final = self._write_stage("graph", final, partition_by=["type_part"])
+                triples = self._link(streams)
+                obs_link = Observation("linked")
+                triples = triples.observe(obs_link, F.count(F.lit(1)).alias("rows"))
+                triples = self._complete_symmetric(triples, streams["symmetric"])
+                obs_sym = Observation("completed")
+                triples = triples.observe(obs_sym, F.count(F.lit(1)).alias("rows"))
+                triples = self._canonicalize(triples)
+                final = self._write_stage(
+                    "graph", self._finalize(triples), partition_by=["type_part"]
+                )
+                for name, obs in (("linked", obs_link), ("completed", obs_sym)):
+                    with open(self.out / "_lineage" / f"{name}.json", "w") as f:
+                        json.dump({"stage": name, "rows": obs.get["rows"],
+                                   "fused": True}, f)
 
         # side tables (errors / dangling links) — small, written last
         if not (resume and self._done("errors")):
@@ -195,7 +222,7 @@ class Pipeline:
         pairs = [(k, v) for k, v in auth.clusters.items()]
         if not pairs:
             return triples
-        edges = self.spark.createDataFrame(pairs, ["src", "dst"])
+        edges = self.spark.createDataFrame(pairs, ["src", "dst"]).coalesce(4)
         comp = connected_components(edges)
         bdr = "http://purl.bdrc.io/resource/"
         rep = comp.filter(F.col("node") != F.col("comp")).select(
