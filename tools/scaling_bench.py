@@ -46,7 +46,7 @@ def main() -> None:
         wall = time.perf_counter() - t0
         print(json.dumps({
             "cpus": args.cpus, "wall_s": round(wall, 3), "triples": triples,
-            "stages": {r["stage"]: r["wall_s"] for r in pipe.lineage()},
+            "stages": {r["stage"]: r.get("wall_s", "fused") for r in pipe.lineage()},
         }))
     finally:
         shutil.rmtree(out, ignore_errors=True)
