@@ -202,9 +202,10 @@ class Pipeline:
                 F.lit(None).cast("string").alias("o_datatype"),
             )
         )
-        return triples.unionByName(inverse).dropDuplicates(
-            ["graph", "subject", "predicate", "o_kind", "o_value", "o_lang", "o_datatype"]
-        )
+        # no dedup here: the single full-row dropDuplicates runs once at
+        # the end of the fused chain (_canonicalize) — one shuffle of the
+        # big table instead of two
+        return triples.unionByName(inverse)
 
     def _canonicalize(self, triples: DataFrame) -> DataFrame:
         """G1/G2: connected components over the duplicate-cluster pair
@@ -218,10 +219,13 @@ class Pipeline:
             connected_components,
         )
 
+        dedup_cols = [
+            "graph", "subject", "predicate", "o_kind", "o_value", "o_lang", "o_datatype"
+        ]
         auth = get_authority()
         pairs = [(k, v) for k, v in auth.clusters.items()]
         if not pairs:
-            return triples
+            return triples.dropDuplicates(dedup_cols)
         edges = self.spark.createDataFrame(pairs, ["src", "dst"]).coalesce(4)
         comp = connected_components(edges)
         bdr = "http://purl.bdrc.io/resource/"
