@@ -99,6 +99,9 @@ class Ctx:
     # (false, false) -> both directions kept
     one_direction: bool = True
     prefer_many: bool = False
+    # True when running the full-corpus pipeline (MigrationApp shape);
+    # False replicates the per-record test wrappers (MigrationTest shape)
+    app_mode: bool = False
 
     @property
     def add_item_for_work(self) -> bool:

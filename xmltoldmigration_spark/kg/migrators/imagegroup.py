@@ -28,7 +28,27 @@ NS = "http://www.tbrc.org/models/imagegroup#"
 
 
 def migrate(root: ET.Element, ctx: Ctx) -> list[Emitter]:
-    """Standalone shape (testing wrapper ImagegroupMigration.java:45-52)."""
+    """Test shape (ImagegroupMigration.java:45-52) unless ctx.app_mode:
+    then item + volume number derive from isVolumeOf (J8), matching the
+    MigrationApp work-pass wiring (MigrationApp.java:404-428)."""
+    if ctx.app_mode:
+        work = num = None
+        for cur in C.elems(root, NS, "isVolumeOf"):
+            work = C.attr(cur, "work").strip()
+            num = C.attr(cur, "num").strip()
+            break
+        if work:
+            item_local = "W" + work[1:]
+            em = Emitter(graph=item_local)
+            item = BDR + item_local
+            try:
+                voln = int(num) if num else 1
+            except ValueError:
+                voln = 1
+            migrate_into(root, ctx, em, item, C.attr(root, "RID"), voln,
+                         item_local, "M" + work)
+            ctx.link(C.attr(root, "RID"), "isVolumeOf", work)
+            return [em]
     em = Emitter(graph="WTestInstance")
     item = C.create_root(em, BDR + "WTestInstance", BDO + "ImageInstance")
     C.create_admin_root(em, item)

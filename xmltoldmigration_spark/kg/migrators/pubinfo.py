@@ -143,20 +143,33 @@ def validate_isbn(v: str) -> str | None:
 
 
 def migrate(root: ET.Element, ctx: Ctx) -> list[Emitter]:
-    """Standalone shape (testing wrapper PubinfoMigration.java:52-87)."""
+    """Test shape (testing wrapper PubinfoMigration.java:52-87) unless
+    ctx.app_mode: then the MW/W/WA roots already exist from the work pass
+    (J7) — this record only emits enrichment triples into those graphs,
+    which the pipeline's set-union merges (the read-modify-write
+    elimination of SURVEY.md S6)."""
     rid = C.attr(root, "RID")
-    em = Emitter(graph=rid)
-    main = main_a = item = None
+    value = None
     for current in C.elems(root, NS, "isPubInfoFor"):
         value = C.attr(current, "work")
-        if not value:
-            ctx.error("gen", rid, rid, "work", "missing work ID!")
-            return [em]
-        main = C.create_root(em, BDR + "M" + value, BDO + "Instance")
-        item = C.create_root(em, BDR + value, BDO + "ImageInstance")
-        C.create_admin_root(em, main)
-        main_a = C.create_root(em, BDR + "WA" + value[1:], BDO + "Work")
-    items = migrate_into(root, ctx, em, main, (em, main_a) if main_a else None, item)
+    if not value:
+        em = Emitter(graph=rid)
+        ctx.error("gen", rid, rid, "work", "missing work ID!")
+        return [em]
+    if ctx.app_mode:
+        em = Emitter(graph="M" + value)
+        main = BDR + "M" + value
+        item = BDR + value
+        em_a = Emitter(graph="WA" + value[1:])
+        main_a = BDR + "WA" + value[1:]
+        items = migrate_into(root, ctx, em, main, (em_a, main_a), item)
+        return [em, em_a] + items
+    em = Emitter(graph=rid)
+    main = C.create_root(em, BDR + "M" + value, BDO + "Instance")
+    item = C.create_root(em, BDR + value, BDO + "ImageInstance")
+    C.create_admin_root(em, main)
+    main_a = C.create_root(em, BDR + "WA" + value[1:], BDO + "Work")
+    items = migrate_into(root, ctx, em, main, (em, main_a), item)
     return [em] + items
 
 

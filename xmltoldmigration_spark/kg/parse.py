@@ -62,7 +62,7 @@ def _parse_batches(batches):
         for path, content in zip(pdf["path"], pdf["content"]):
             rtype = rtype_from_path(path)
             rid = path.rsplit("/", 1)[-1].removesuffix(".xml")
-            ctx = Ctx()
+            ctx = Ctx(app_mode=True)
             try:
                 emitters = migrate_record(rtype, content, ctx)
             except Exception as e:  # record-level failure -> error row
