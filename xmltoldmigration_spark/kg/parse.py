@@ -60,10 +60,10 @@ def _parse_batches(batches):
 
     for pdf in batches:
         for path, content in zip(pdf["path"], pdf["content"]):
-            rtype = rtype_from_path(path)
             rid = path.rsplit("/", 1)[-1].removesuffix(".xml")
             ctx = Ctx(app_mode=True)
             try:
+                rtype = rtype_from_path(path)
                 emitters = migrate_record(rtype, content, ctx)
             except Exception as e:  # record-level failure -> error row
                 out.append(("error", rid, rid, "parse", None, f"{type(e).__name__}: {e}", None, None))
