@@ -69,16 +69,28 @@ class Pipeline:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
         stats = obs.get
+        written = self.spark.read.parquet(path)
+        # per-partition lineage (north_rule): row count per output file,
+        # cheap on parquet (footer row counts drive the aggregation)
+        per_file = (
+            written.groupBy(F.input_file_name().alias("file"))
+            .count()
+            .collect()
+        )
         lineage = {
             "stage": name,
             "rows": stats["rows"],
             "value_hash": str(stats["value_hash"]),
             "wall_s": round(time.time() - t0, 3),
+            "partitions": [
+                {"file": r["file"].rsplit("/", 1)[-1], "rows": r["count"]}
+                for r in sorted(per_file, key=lambda r: r["file"])[:512]
+            ],
         }
         with open(self.out / "_lineage" / f"{name}.json", "w") as f:
             json.dump(lineage, f)
         (self._stage_dir(name) / "_DONE").touch()
-        return self.spark.read.parquet(path)
+        return written
 
     def _read_stage(self, name: str) -> DataFrame:
         return self.spark.read.parquet(str(self._stage_dir(name)))
