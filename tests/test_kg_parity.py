@@ -60,3 +60,47 @@ def test_fixture_parity(name):
         f"{name}: P={pr.precision:.3f} R={pr.recall:.3f}\n"
         f"missing={pr.missing[:5]}\nextra={pr.extra[:5]}"
     )
+
+
+def test_per_row_sha256_equality():
+    """BASELINE.json input_hint: per-row content sha256 equality.
+
+    Rows = canonical N-Triples-style serializations of the canonicalized
+    triple sets; for every implemented fixture the sorted row-stream of
+    our output hashes identically to the golden's."""
+    import hashlib
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from fixture_diff import TTL_DIR, XML_DIR, run_fixture
+
+    from xmltoldmigration_spark.kg.compare import canonicalize
+    from xmltoldmigration_spark.kg.ttl import parse_ttl_file
+
+    def rows_sha256(triples):
+        canon = sorted(canonicalize(triples))
+        h = hashlib.sha256()
+        for row in canon:
+            h.update(repr(row).encode("utf-8"))
+        return h.hexdigest()
+
+    for name, rtype in sorted(IMPLEMENTED.items()):
+        pr, ctx = run_fixture(name, rtype)
+        # reconstruct both sides the same way the P/R check does
+        from xmltoldmigration_spark.kg.authority import get_authority
+        from xmltoldmigration_spark.kg.common import Ctx
+        from xmltoldmigration_spark.kg.migrators import migrate_record
+
+        content = (XML_DIR / f"{name}.xml").read_text(encoding="utf-8")
+        c = Ctx(auth=get_authority(test_mode=True))
+        ours = []
+        for em in migrate_record(rtype, content, c):
+            ours.extend(
+                (s, p, k, v, lang, dt) for (_, s, p, k, v, lang, dt) in em.rows()
+            )
+        if rtype == "etext":
+            golden = parse_ttl_file(str(TTL_DIR / f"{name}-etext.ttl"))
+            golden += parse_ttl_file(str(TTL_DIR / f"{name}-item.ttl"))
+        else:
+            golden = parse_ttl_file(str(TTL_DIR / f"{name}.ttl"))
+        assert rows_sha256(ours) == rows_sha256(golden), name
