@@ -29,13 +29,43 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Return DataFrame[node, component] where component = min node id
     reachable from `node` over the undirected edge set.
 
+    Size-adaptive: an edge list under `driver_threshold` rows is
+    broadcast-scale authority data — a driver-side union-find computes
+    components in one pass with zero shuffles, exactly like any other
+    broadcast side-table.  Above the threshold the distributed
+    min-propagation loop below takes over (each iteration one shuffle
+    join + aggregation, lineage truncated by localCheckpoint).
+
     `edges` must have two columns of the same orderable type. Isolated
     nodes appear only if present as a self-edge or in both columns.
     """
+    approx = edges.limit(driver_threshold + 1).count()
+    if approx <= driver_threshold:
+        rows = edges.select(src, dst).collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in rows:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min so the representative is the min id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        nodes = {n for row in rows for n in row}
+        out = [(n, find(n)) for n in sorted(nodes)]
+        return edges.sparkSession.createDataFrame(out, ["node", "comp"])
     # cluster pair lists are tiny relative to the triple table; bound the
     # task count so each min-propagation iteration isn't scheduling-bound
     n = edges.rdd.getNumPartitions()
