@@ -47,7 +47,8 @@ def main() -> None:
         shuffle_partitions=max(args.cpus, 8),
         extra_conf=extra,
     )
-    out = tempfile.mkdtemp(prefix=f"kgscale{args.cpus}_")
+    out_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    out = tempfile.mkdtemp(prefix=f"kgscale{args.cpus}_", dir=out_base)
     try:
         src = load_synthetic_src(spark, args.n, num_partitions=args.cpus * 2)
         t0 = time.perf_counter()
