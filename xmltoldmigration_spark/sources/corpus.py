@@ -166,19 +166,66 @@ def synth_place_xml(i: int, seed: int = 42) -> str:
     return "\n".join(parts)
 
 
+def synth_pubinfo_xml(i: int, seed: int = 42) -> str:
+    rng = random.Random((seed << 35) ^ i)
+    work = f"W9X{(i // 10) * 10 + 5}"  # enriches a work record of the corpus
+    return "\n".join([
+        f'<mw:pubinfo xmlns:mw="http://www.tbrc.org/models/pubinfo#" RID="MW9X{i}" status="released">',
+        f'    <mw:isPubInfoFor work="{work}"/>',
+        f'    <mw:publisherName>{_name_for(rng)} press</mw:publisherName>',
+        f'    <mw:publisherLocation>lha sa</mw:publisherLocation>',
+        f'    <mw:publisherDate>{1900 + rng.randint(0, 99)}</mw:publisherDate>',
+        f'    <mw:printType type="blockprint"/>',
+        f'    <mw:encoding>In Tibetan</mw:encoding>',
+        f'    <mw:extent>{rng.randint(10, 900)} ff.</mw:extent>',
+        "</mw:pubinfo>",
+    ])
+
+
+def synth_etext_xml(i: int, seed: int = 42) -> str:
+    rng = random.Random((seed << 36) ^ i)
+    work = f"W9X{i}"
+    pages = []
+    for p in range(1, rng.randint(2, 4)):
+        lines = "".join(
+            f'<milestone unit="line" n="{ln}"/>{_name_for(rng)}་'
+            for ln in range(1, rng.randint(2, 5))
+        )
+        pages.append(f'<p n="{p}">{lines}</p>')
+    return (
+        '<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader><fileDesc>'
+        f"<titleStmt><title>{_name_for(rng)}</title></titleStmt>"
+        f'<publicationStmt><idno type="TBRC_TEXT_RID">UT9X{i}-001-0000</idno></publicationStmt>'
+        f'<sourceDesc><bibl><idno type="TBRC_RID">{work}</idno>'
+        f'<idno type="SRC_PATH">eKangyur/UT9X{i}.xml</idno></bibl></sourceDesc>'
+        "</fileDesc></teiHeader><text><body><div>"
+        + "".join(pages)
+        + "</div></body></text></TEI>"
+    )
+
+
 def synthetic_rows_partition(start: int, end: int, seed: int = 42):
-    """Rows [start, end) of the synthetic corpus — callable per partition."""
+    """Rows [start, end) of the synthetic corpus — callable per partition.
+
+    Mix: 50% person, 20% work, 10% pubinfo (enriching those works via the
+    J7 set-union merge), 10% place, 10% TEI etext."""
     for i in range(start, end):
         kind = i % 10
         if kind < 5:
             rtype, xml = "person", synth_person_xml(i, seed)
             name = f"P9X{i}"
-        elif kind < 8:
+        elif kind < 7:
             rtype, xml = "work", synth_work_xml(i, seed)
             name = f"W9X{i}"
-        else:
+        elif kind == 7:
+            rtype, xml = "pubinfo", synth_pubinfo_xml(i, seed)
+            name = f"MW9X{i}"
+        elif kind == 8:
             rtype, xml = "place", synth_place_xml(i, seed)
             name = f"G9X{i}"
+        else:
+            rtype, xml = "etext", synth_etext_xml(i, seed)
+            name = f"UT9X{i}"
         yield ("tbrc", f"{_TYPE_DIR[rtype]}/{name}.xml", "v1", "xml", xml)
 
 
