@@ -98,3 +98,15 @@ def test_symmetric_completion_applied(spark, tmp_path):
     bdo = "http://purl.bdrc.io/ontology/core/"
     inv = final.filter(F.col("predicate") == bdo + "personStudentOf").count()
     assert inv > 0
+
+
+def test_title_export(spark, fixture_out):
+    """K5: titles CSV export branch over the graph table."""
+    from xmltoldmigration_spark.plans.exports import export_title_info
+
+    out, pipe, final = fixture_out
+    rows = export_title_info(final).collect()
+    assert len(rows) > 0
+    by_mw = {r.mw_rid: r for r in rows}
+    assert "MW1FPL2837" in by_mw
+    assert any("kun rig rnam bshad/@bo-x-ewts" in t for t in by_mw["MW1FPL2837"].titles)
