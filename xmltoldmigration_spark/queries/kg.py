@@ -109,3 +109,34 @@ def kg_full_pipeline_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         final.groupBy("type_part").agg(F.count(F.lit(1)).alias("n")).orderBy("type_part")
     )
+
+
+@register(
+    "kg_title_export",
+    oracle=None,
+    survey_ref="K5: titles export branch over the graph table",
+)
+def kg_title_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from xmltoldmigration_spark.plans.exports import export_title_info
+    from xmltoldmigration_spark.plans.pipeline import Pipeline
+
+    out = tempfile.mkdtemp(prefix="kgte_")
+    final = Pipeline(spark, out).run(_src(spark, sf_dir), resume=False)
+    return export_title_info(final).select(
+        "wa_rid", "mw_rid", F.size("titles").alias("n_titles")
+    )
+
+
+@register(
+    "kg_canonical_serialization",
+    oracle=None,
+    survey_ref="K1: canonical per-graph serialization, partition-invariant sha256",
+)
+def kg_canonical_serialization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xmltoldmigration_spark.kg.parse import parse_src, split_streams
+    from xmltoldmigration_spark.kg.serialize import serialize_graphs
+
+    triples = split_streams(parse_src(_src(spark, sf_dir)))["triples"]
+    return serialize_graphs(triples).select("graph", "sha256").orderBy("graph")
