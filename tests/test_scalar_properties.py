@@ -1,0 +1,86 @@
+"""Property-based robustness for the scalar layer (hypothesis).
+
+At 10^12-file scale the parse stage WILL see garbage; every scalar
+function must be total (no uncaught exceptions) and, where meaningful,
+idempotent.  Record-level failures degrade to error rows, never task
+failures."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xmltoldmigration_spark.functions import lang as L
+from xmltoldmigration_spark.functions import text as T
+
+any_text = st.text(max_size=80)
+
+
+@settings(max_examples=300, deadline=None)
+@given(any_text)
+def test_normalize_string_total_and_stable(s):
+    # not strictly idempotent (the reference's wrapping-quote strip makes
+    # `' "'` -> `'"'` -> `''`, CommonMigration.java:723-727) but must
+    # stabilize and never raise
+    a = T.normalize_string(s)
+    b = T.normalize_string(a)
+    assert T.normalize_string(b) == b
+
+
+@settings(max_examples=300, deadline=None)
+@given(any_text)
+def test_parse_dates_total(s):
+    for prop, lex, dt in T.parse_dates(s):
+        assert prop in ("onYear", "notBefore", "notAfter", "eventWhen")
+        assert isinstance(lex, str)
+
+
+@settings(max_examples=300, deadline=None)
+@given(any_text)
+def test_ewts_functions_total(s):
+    L.add_ewts_shad(s)
+    L.normalize_ewts(s)
+    L.ewts_has_warnings(s)
+    L.is_likely_english(s)
+    L.guess_lang(s)
+    L.normalize_tibetan(s)
+
+
+@settings(max_examples=200, deadline=None)
+@given(any_text, any_text)
+def test_bcp47_total(lang, enc):
+    tag = L.get_bcp47(lang, enc, "en")
+    assert tag is None or isinstance(tag, str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(any_text)
+def test_qcdate_total(s):
+    from xmltoldmigration_spark.kg.migrators.imagegroup import qcdate_to_xsd
+
+    r = qcdate_to_xsd(s)
+    assert r is None or (isinstance(r[0], str) and r[1].startswith("http"))
+
+
+@settings(max_examples=200, deadline=None)
+@given(any_text)
+def test_urls_total(s):
+    T.normalize_tol_url(s)
+    T.rid_from_tbrc_url(s)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=1, max_value=9999), min_size=1, max_size=30, unique=True))
+def test_image_list_roundtrip_property(nums):
+    from xmltoldmigration_spark.functions.imagelist import (
+        encode_image_list,
+        get_image_nums,
+    )
+
+    nums = sorted(nums)
+    src = "|".join(f"IMG{n:04d}.tif" for n in nums)
+    rle, total, missing, _ = encode_image_list(src)
+    assert total == len(nums)
+    decoded = get_image_nums(rle, missing)
+    # every encoded image decodes to its ordinal position among pages
+    assert set(decoded) == {f"img{n:04d}.tif" for n in nums}

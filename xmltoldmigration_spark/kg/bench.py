@@ -21,7 +21,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent.parent
 
 # records per benchmark corpus keyed by scale factor of the driver dir
-_N_BY_SF = {"0.001": 300, "0.01": 3000, "0.1": 20000}
+_N_BY_SF = {"0.001": 300, "0.01": 3000, "0.1": 50000}
 
 
 def corpus_size_for(sf_dir: str) -> int:
