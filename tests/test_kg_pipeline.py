@@ -129,3 +129,24 @@ def test_canonical_serialization(spark, fixture_out):
     )
     assert "<http://purl.bdrc.io/resource/P1331>" in body
     assert body == "\n".join(sorted(body.splitlines(), key=lambda l: l)) or True
+
+
+def test_malformed_records_degrade_to_error_rows(spark, tmp_path):
+    """A corrupt record must become an error row, never a task failure
+    (the 100 TB operational property)."""
+    from xmltoldmigration_spark.kg.parse import parse_src, split_streams
+    from xmltoldmigration_spark.sources.corpus import SRC_SCHEMA
+
+    rows = [
+        ("tbrc", "tbrc-persons/P9XBAD.xml", "v1", "xml", "<p:person broken"),
+        ("tbrc", "weird-dir/X1.xml", "v1", "xml", "<x/>"),
+        ("tbrc", "tbrc-persons/P9XOK.xml", "v1", "xml",
+         '<p:person xmlns:p="http://www.tbrc.org/models/person#" RID="P9XOK" status="released">'
+         '<p:name lang="tibetan" encoding="extendedWylie">blo gros</p:name></p:person>'),
+    ]
+    src = spark.createDataFrame(rows, schema=SRC_SCHEMA)
+    streams = split_streams(parse_src(src).cache())
+    errors = {r.rid: r.etype for r in streams["errors"].collect()}
+    assert "P9XBAD" in errors and "X1" in errors
+    graphs = {r.graph for r in streams["triples"].select("graph").distinct().collect()}
+    assert "P9XOK" in graphs
