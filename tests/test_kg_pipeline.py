@@ -150,3 +150,21 @@ def test_malformed_records_degrade_to_error_rows(spark, tmp_path):
     assert "P9XBAD" in errors and "X1" in errors
     graphs = {r.graph for r in streams["triples"].select("graph").distinct().collect()}
     assert "P9XOK" in graphs
+
+
+def test_work_admin_propagates_to_etext(spark, tmp_path):
+    """J13: the work's archiveInfo access overrides the IE instance's
+    default adm:access (work W9X5 is restrictedSealed; etext UT9X9
+    references it)."""
+    src = corpus.load_synthetic_src(spark, 20, num_partitions=2)
+    final = Pipeline(spark, str(tmp_path / "adm")).run(src, resume=False)
+    adm = "http://purl.bdrc.io/ontology/admin/"
+    rows = final.filter(
+        (F.col("graph") == "IE9X1") | (F.col("graph") == "IE9X5")
+    ).collect()
+    access = {
+        (r.graph, r.o_value)
+        for r in final.filter(F.col("predicate") == adm + "access").collect()
+    }
+    assert ("IE9X5", "http://purl.bdrc.io/admindata/AccessRestrictedSealed") in access
+    assert ("IE9X15", "http://purl.bdrc.io/admindata/AccessOpen") in access

@@ -358,6 +358,12 @@ def migrate(root: ET.Element, ctx: Ctx) -> list[Emitter]:
         ctx.work_access["M" + work_id] = access_uri
         ctx.work_legal["M" + work_id] = legal_uri
         ctx.work_ric["M" + work_id] = is_ric
+        # J13: emitted as a side row so the pipeline can propagate work
+        # admin info into etext instances (MigrationApp.moveAdminInfo:152-171)
+        ctx.result.contents.append((
+            "workAdmin:" + work_id,
+            "|".join([access_uri or "", legal_uri or "", "1" if is_ric else "0"]),
+        ))
         if is_ric:
             em.add(adm_main, ADM + "restrictedInChina", boolean(True))
             if adm_main_a is not None:

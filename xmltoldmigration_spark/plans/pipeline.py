@@ -152,6 +152,7 @@ class Pipeline:
                 from pyspark.sql import Observation
 
                 triples = self._link(streams)
+                triples = self._propagate_work_admin(triples, streams)
                 obs_link = Observation("linked")
                 triples = triples.observe(obs_link, F.count(F.lit(1)).alias("rows"))
                 triples = self._complete_symmetric(triples, streams["symmetric"])
@@ -193,6 +194,58 @@ class Pipeline:
             .withColumn("o_value", F.coalesce("_new_iri", "o_value"))
             .drop("_old_iri", "_new_iri")
         )
+
+    def _propagate_work_admin(self, triples: DataFrame, streams: dict) -> DataFrame:
+        """J13: the work record's archiveInfo (access/ric) overrides the
+        defaults the etext migrator wrote on its IE instance admin
+        (EtextMigration.java:494-499 reads WorkMigration.workAccessMap;
+        here it is a broadcast join on the IE graph name)."""
+        adm = "http://purl.bdrc.io/ontology/admin/"
+        admin = (
+            streams["contents"]
+            .filter(F.col("kind").startswith("workAdmin:"))
+            .select(
+                F.concat(F.lit("IE"), F.expr("substring(substring(kind, 11), 2)")).alias("_ie"),
+                F.split("payload", "\\|").alias("_p"),
+            )
+            .select(
+                "_ie",
+                F.col("_p")[0].alias("_access"),
+                F.col("_p")[2].alias("_ric"),
+            )
+            .filter(F.col("_access") != "")
+            .dropDuplicates(["_ie"])
+        )
+        out = (
+            triples.join(
+                F.broadcast(admin),
+                (triples.graph == F.col("_ie"))
+                & (triples.predicate == adm + "access"),
+                "left",
+            )
+            .withColumn(
+                "o_value",
+                F.when(F.col("_access").isNotNull(), F.col("_access")).otherwise(
+                    F.col("o_value")
+                ),
+            )
+            .drop("_ie", "_access", "_ric")
+        )
+        ric_rows = (
+            admin.filter(F.col("_ric") == "1")
+            .select(
+                F.col("_ie").alias("graph"),
+                F.concat(F.lit("http://purl.bdrc.io/admindata/"), "_ie").alias("subject"),
+                F.lit(adm + "restrictedInChina").alias("predicate"),
+                F.lit("lit").alias("o_kind"),
+                F.lit("true").alias("o_value"),
+                F.lit(None).cast("string").alias("o_lang"),
+                F.lit("http://www.w3.org/2001/XMLSchema#boolean").alias("o_datatype"),
+            )
+            # only into IE graphs that actually exist
+            .join(triples.select("graph").distinct(), "graph", "leftsemi")
+        )
+        return out.unionByName(ric_rows)
 
     def _complete_symmetric(self, triples: DataFrame, symmetric: DataFrame) -> DataFrame:
         """A1: queued inverse edges land in their destination graph iff

@@ -138,7 +138,7 @@ def synth_work_xml(i: int, seed: int = 42) -> str:
         f'<w:work xmlns:w="http://www.tbrc.org/models/work#" RID="{rid}" status="released">',
         f'    <w:title type="bibliographicalTitle">{_name_for(rng)}</w:title>',
         f'    <w:title type="titlePageTitle" lang="tibetan" encoding="extendedWylie">{_name_for(rng)}</w:title>',
-        f'    <w:archiveInfo license="ccby" access="openAccess" vols="{rng.randint(1, 12)}"/>',
+        f'    <w:archiveInfo license="ccby" access="{"restrictedSealed" if i % 20 == 5 else "openAccess"}" vols="{rng.randint(1, 12)}"/>',
         f'    <w:creator person="{creator}" type="hasMainAuthor">{_name_for(rng)}</w:creator>',
         f'    <w:subject class="T9X{rng.randrange(1, 300)}" type="isAboutUncontrolled">{_name_for(rng)}</w:subject>',
         f'    <w:catalogInfo>synthetic catalog info {i}</w:catalogInfo>',
@@ -184,7 +184,7 @@ def synth_pubinfo_xml(i: int, seed: int = 42) -> str:
 
 def synth_etext_xml(i: int, seed: int = 42) -> str:
     rng = random.Random((seed << 36) ^ i)
-    work = f"W9X{i}"
+    work = f"W9X{i - 4}"  # references the kind-5 work record of its decade
     pages = []
     for p in range(1, rng.randint(2, 4)):
         lines = "".join(
