@@ -168,3 +168,16 @@ def test_work_admin_propagates_to_etext(spark, tmp_path):
     }
     assert ("IE9X5", "http://purl.bdrc.io/admindata/AccessRestrictedSealed") in access
     assert ("IE9X15", "http://purl.bdrc.io/admindata/AccessOpen") in access
+
+
+def test_etext_backlinks(spark, tmp_path):
+    """J14: the work instance graph gains instanceHasReproduction to the
+    etext instance created from its TEI record."""
+    src = corpus.load_synthetic_src(spark, 20, num_partitions=2)
+    final = Pipeline(spark, str(tmp_path / "bl")).run(src, resume=False)
+    bdo = "http://purl.bdrc.io/ontology/core/"
+    rows = final.filter(
+        (F.col("predicate") == bdo + "instanceHasReproduction")
+        & (F.col("graph") == "MW9X5")
+    ).collect()
+    assert any(r.o_value.endswith("/IE9X5") for r in rows)

@@ -153,6 +153,7 @@ class Pipeline:
 
                 triples = self._link(streams)
                 triples = self._propagate_work_admin(triples, streams)
+                triples = self._etext_backlinks(triples, streams)
                 obs_link = Observation("linked")
                 triples = triples.observe(obs_link, F.count(F.lit(1)).alias("rows"))
                 triples = self._complete_symmetric(triples, streams["symmetric"])
@@ -172,6 +173,8 @@ class Pipeline:
             self._write_stage("errors", streams["errors"])
         if not (resume and self._done("dangling")):
             self._write_stage("dangling", self._dangling(streams))
+        if not (resume and self._done("conflicts")):
+            self._write_stage("conflicts", self._imagegroup_conflicts(streams))
         return final
 
     def _link(self, streams: dict) -> DataFrame:
@@ -246,6 +249,40 @@ class Pipeline:
             .join(triples.select("graph").distinct(), "graph", "leftsemi")
         )
         return out.unionByName(ric_rows)
+
+    def _etext_backlinks(self, triples: DataFrame, streams: dict) -> DataFrame:
+        """J14: the reference re-opens the work/image-instance files to
+        add instanceHasReproduction links to the new etext instance
+        (EtextMigration.addReproToInstance:344-371); here the etext's
+        link rows become forward triples into the existing MW/W graphs."""
+        bdo = "http://purl.bdrc.io/ontology/core/"
+        bdr = "http://purl.bdrc.io/resource/"
+        repro = (
+            streams["links"]
+            .filter(F.col("prop") == "instanceHasReproduction")
+            .select(F.col("dst_rid").alias("work_rid"))
+            .dropDuplicates(["work_rid"])
+        )
+        graphs = triples.select("graph").distinct()
+
+        def into(graph_prefix: str):
+            return (
+                repro.select(
+                    F.concat(F.lit(graph_prefix), F.col("work_rid")).alias("graph"),
+                    F.concat(F.lit(bdr + graph_prefix), F.col("work_rid")).alias("subject"),
+                    F.lit(bdo + "instanceHasReproduction").alias("predicate"),
+                    F.lit("iri").alias("o_kind"),
+                    F.concat(
+                        F.lit(bdr + "IE"), F.expr("substring(work_rid, 2)")
+                    ).alias("o_value"),
+                    F.lit(None).cast("string").alias("o_lang"),
+                    F.lit(None).cast("string").alias("o_datatype"),
+                )
+                .join(graphs, "graph", "leftsemi")
+            )
+
+        # instance graph (bdr:M<rid>) and image-instance graph (bdr:<rid>)
+        return triples.unionByName(into("M")).unionByName(into(""))
 
     def _complete_symmetric(self, triples: DataFrame, symmetric: DataFrame) -> DataFrame:
         """A1: queued inverse edges land in their destination graph iff
@@ -341,6 +378,27 @@ class Pipeline:
                 "subject_bucket",
                 F.pmod(F.xxhash64("subject"), F.lit(N_SUBJECT_BUCKETS)).cast("int"),
             )
+        )
+
+    def _imagegroup_conflicts(self, streams: dict) -> DataFrame:
+        """A4: an image group claimed by more than one work is an error
+        (MigrationApp.java:106,417-426 imageGroupWork map)."""
+        claims = streams["links"].filter(
+            F.col("prop").startswith("volume:") | (F.col("prop") == "isVolumeOf")
+        )
+        ig = F.when(
+            F.col("prop") == "isVolumeOf", F.col("src_rid")
+        ).otherwise(F.col("dst_rid"))
+        work = F.when(
+            F.col("prop") == "isVolumeOf", F.col("dst_rid")
+        ).otherwise(F.col("src_rid"))
+        return (
+            claims.select(ig.alias("imagegroup"), work.alias("work"))
+            .distinct()
+            .groupBy("imagegroup")
+            .agg(F.collect_set("work").alias("works"), F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .select("imagegroup", F.sort_array("works").alias("works"))
         )
 
     def _dangling(self, streams: dict) -> DataFrame:
