@@ -128,7 +128,16 @@ def test_canonical_serialization(spark, fixture_out):
         r.body for r in serialize_graphs(final).collect() if r.graph == "P1331"
     )
     assert "<http://purl.bdrc.io/resource/P1331>" in body
-    assert body == "\n".join(sorted(body.splitlines(), key=lambda l: l)) or True
+    # canonical order: (subject, predicate priority, predicate) non-decreasing
+    from xmltoldmigration_spark.kg.serialize import _PRIORITY
+
+    keys = []
+    for line in body.splitlines():
+        subj = line[1 : line.index(">")]
+        rest = line[line.index(">") + 2 :]
+        pred = rest[1 : rest.index(">")]
+        keys.append((subj, _PRIORITY.get(pred, 9), pred))
+    assert keys == sorted(keys) and len(keys) > 1
 
 
 def test_malformed_records_degrade_to_error_rows(spark, tmp_path):

@@ -1,18 +1,24 @@
 """SimHash fingerprinting — vectorized pandas UDF (Arrow batches).
 
-64-bit simhash: each token hashes to 64 bits (md5-derived, seed-free and
-deterministic across executors/retries); each bit position accumulates
+64-bit simhash: each token hashes to 64 bits; each bit position accumulates
 +1/-1 weighted by token frequency; the sign of each accumulator is the
 fingerprint bit. Near-duplicate texts land within small hamming distance.
 
 Python is unavoidable here (bitwise majority vote has no built-in Spark
-expression), so it runs as one numpy pass per Arrow batch — no per-row
-Python.
+expression), but the hot loop is fully vectorized per Arrow batch:
+
+- tokenization: one ``Series.str.split`` pass,
+- hashing: ``pandas.util.hash_array`` over the flattened token array —
+  a single cython SipHash pass with a fixed key, deterministic across
+  executors/retries/processes (no per-token ``hashlib`` calls),
+- bit votes: a (tokens x 64) bit matrix segment-summed per document with
+  ``np.add.reduceat``.
+
+Documents are processed in sub-chunks of ~256k tokens so the bit matrix
+stays bounded (~64 MB int32) regardless of Arrow batch size.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pandas as pd
@@ -20,24 +26,58 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+_BIT_POSITIONS = np.arange(64, dtype=np.uint64)
+_CHUNK_TOKENS = 1 << 18  # ~256k tokens per reduceat pass
+
+
+def _simhash_chunk(flat_tokens: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """uint64 fingerprints for one chunk of documents.
+
+    flat_tokens: object array of all tokens, concatenated doc-by-doc.
+    lengths: per-doc token counts (all > 0, summing to len(flat_tokens)).
+    """
+    hashes = pd.util.hash_array(flat_tokens)  # uint64, one cython pass
+    # (tokens x 64) bit matrix; int32 so segment sums can't overflow
+    bits = ((hashes[:, None] >> _BIT_POSITIONS) & np.uint64(1)).astype(np.int32)
+    offsets = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=offsets[1:])
+    ones = np.add.reduceat(bits, offsets, axis=0)  # per-doc count of 1-bits
+    # majority vote: acc = 2*ones - n > 0  <=>  ones > n/2
+    fp_bits = (2 * ones > lengths[:, None]).astype(np.uint64)
+    return (fp_bits << _BIT_POSITIONS).sum(axis=1, dtype=np.uint64)
+
+
+def _simhash_values(token_lists: "pd.Series") -> np.ndarray:
+    """uint64 simhash per entry of a Series of token lists (empty -> 0)."""
+    lengths = np.array([len(t) for t in token_lists], dtype=np.int64)
+    out = np.zeros(len(lengths), dtype=np.uint64)
+    nz_idx = np.nonzero(lengths > 0)[0]
+    # sub-chunk by document so the bit matrix stays ~_CHUNK_TOKENS x 64
+    start = 0
+    while start < len(nz_idx):
+        end = start
+        tok_budget = 0
+        while end < len(nz_idx) and (tok_budget == 0 or tok_budget + lengths[nz_idx[end]] <= _CHUNK_TOKENS):
+            tok_budget += lengths[nz_idx[end]]
+            end += 1
+        idx = nz_idx[start:end]
+        flat = np.array(
+            [tok for i in idx for tok in token_lists.iloc[i]], dtype=object
+        )
+        out[idx] = _simhash_chunk(flat, lengths[idx])
+        start = end
+    return out
+
 
 def simhash64(text: str) -> int:
     """Deterministic 64-bit simhash of a whitespace-tokenized text."""
-    tokens = text.split()
-    if not tokens:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in tokens:
-        digest = hashlib.md5(tok.encode("utf-8")).digest()[:8]
-        bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))  # 64 x {0,1}
-        acc += bits.astype(np.int64) * 2 - 1
-    out_bits = (acc > 0).astype(np.uint8)
-    return int.from_bytes(np.packbits(out_bits).tobytes(), "big")
+    return int(_simhash_values(pd.Series([(text or "").split()]))[0])
 
 
 @F.pandas_udf(T.StringType())
 def _simhash_hex(texts: pd.Series) -> pd.Series:
-    return texts.fillna("").map(lambda t: format(simhash64(t), "016x"))
+    vals = _simhash_values(texts.fillna("").str.split())
+    return pd.Series([format(int(v), "016x") for v in vals], index=texts.index)
 
 
 def with_simhash(df: DataFrame, text_col: str = "text", out_col: str = "simhash_hex") -> DataFrame:

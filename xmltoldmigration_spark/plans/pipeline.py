@@ -70,22 +70,25 @@ class Pipeline:
         writer.parquet(path)
         stats = obs.get
         written = self.spark.read.parquet(path)
-        # per-partition lineage (north_rule): row count per output file,
-        # cheap on parquet (footer row counts drive the aggregation)
-        per_file = (
-            written.groupBy(F.input_file_name().alias("file"))
-            .count()
-            .collect()
+        # per-partition lineage (north_rule): row count per output file read
+        # straight from the parquet FOOTERS — no second scan of the data
+        # pages (on a cluster the same metadata comes from the FileSystem
+        # API / Iceberg manifest; here pyarrow reads each footer locally)
+        import pyarrow.parquet as pq
+
+        part_files = sorted(
+            p for p in Path(path).rglob("*.parquet") if not p.name.startswith(".")
         )
+        per_file = [
+            {"file": p.name, "rows": pq.ParquetFile(p).metadata.num_rows}
+            for p in part_files[:512]
+        ]
         lineage = {
             "stage": name,
             "rows": stats["rows"],
             "value_hash": str(stats["value_hash"]),
             "wall_s": round(time.time() - t0, 3),
-            "partitions": [
-                {"file": r["file"].rsplit("/", 1)[-1], "rows": r["count"]}
-                for r in sorted(per_file, key=lambda r: r["file"])[:512]
-            ],
+            "partitions": per_file,
         }
         with open(self.out / "_lineage" / f"{name}.json", "w") as f:
             json.dump(lineage, f)
@@ -113,6 +116,9 @@ class Pipeline:
         the whole table); at cluster scale the same fusion argument holds
         per-executor.  Resume granularity: parsed + graph ('minimal') or
         every stage ('all')."""
+        # error rows discovered by join stages (dropped back-links etc.)
+        # accumulate here and union into the errors side table at the end
+        self._extra_errors: list[DataFrame] = []
         # stage 1: PARSE (record-local, no shuffle)
         if resume and self._done("parsed"):
             parsed = self._read_stage("parsed")
@@ -121,11 +127,15 @@ class Pipeline:
         streams = split_streams(parsed)
 
         if materialize == "all":
-            # stage 2: LINK (J1 runtime redirects)
+            # stage 2: LINK (J1 runtime redirects + J13 admin propagation
+            # + J14 etext back-links — same chain as the fused path)
             if resume and self._done("linked"):
                 triples = self._read_stage("linked")
             else:
-                triples = self._write_stage("linked", self._link(streams))
+                linked = self._link(streams)
+                linked = self._propagate_work_admin(linked, streams)
+                linked = self._etext_backlinks(linked, streams)
+                triples = self._write_stage("linked", linked)
             # stage 3: SYMMETRIC COMPLETION (A1)
             if resume and self._done("completed"):
                 triples = self._read_stage("completed")
@@ -170,7 +180,10 @@ class Pipeline:
 
         # side tables (errors / dangling links) — small, written last
         if not (resume and self._done("errors")):
-            self._write_stage("errors", streams["errors"])
+            errors = streams["errors"]
+            for extra in self._extra_errors:
+                errors = errors.unionByName(extra)
+            self._write_stage("errors", errors)
         if not (resume and self._done("dangling")):
             self._write_stage("dangling", self._dangling(streams))
         if not (resume and self._done("conflicts")):
@@ -188,9 +201,13 @@ class Pipeline:
             F.concat(F.lit(bdr), "old_rid").alias("_old_iri"),
             F.concat(F.lit(bdr), "new_rid").alias("_new_iri"),
         )
+        # no broadcast hint: redirects are DATA-derived (withdrawn records
+        # scale with the corpus, unlike the authority CSVs) — AQE still
+        # picks a broadcast join when the side is actually small, without
+        # risking a forced driver-side collect of an unbounded table
         return (
             triples.join(
-                F.broadcast(red),
+                red,
                 (triples.o_kind == "iri") & (triples.o_value == F.col("_old_iri")),
                 "left",
             )
@@ -216,12 +233,19 @@ class Pipeline:
                 F.col("_p")[0].alias("_access"),
                 F.col("_p")[2].alias("_ric"),
             )
-            .filter(F.col("_access") != "")
             .dropDuplicates(["_ie"])
         )
+        # the access-override join only cares about rows that actually
+        # carry an access value; ric ("restricted in China") is set
+        # unconditionally by the reference (WorkMigration.java:556-567) so
+        # it must come from the UNFILTERED admin rows — a "||1" payload
+        # (no access, ric set) still restricts the etext IE.
+        # no broadcast hint: workAdmin rows are data-derived (one per
+        # migrated work) — AQE broadcasts when actually small.
+        access = admin.filter(F.col("_access") != "").drop("_ric")
         out = (
             triples.join(
-                F.broadcast(admin),
+                access,
                 (triples.graph == F.col("_ie"))
                 & (triples.predicate == adm + "access"),
                 "left",
@@ -232,21 +256,30 @@ class Pipeline:
                     F.col("o_value")
                 ),
             )
-            .drop("_ie", "_access", "_ric")
+            .drop("_ie", "_access")
         )
-        ric_rows = (
-            admin.filter(F.col("_ric") == "1")
-            .select(
-                F.col("_ie").alias("graph"),
-                F.concat(F.lit("http://purl.bdrc.io/admindata/"), "_ie").alias("subject"),
-                F.lit(adm + "restrictedInChina").alias("predicate"),
-                F.lit("lit").alias("o_kind"),
-                F.lit("true").alias("o_value"),
-                F.lit(None).cast("string").alias("o_lang"),
-                F.lit("http://www.w3.org/2001/XMLSchema#boolean").alias("o_datatype"),
+        ric_all = admin.filter(F.col("_ric") == "1").select(
+            F.col("_ie").alias("graph"),
+            F.concat(F.lit("http://purl.bdrc.io/admindata/"), "_ie").alias("subject"),
+            F.lit(adm + "restrictedInChina").alias("predicate"),
+            F.lit("lit").alias("o_kind"),
+            F.lit("true").alias("o_value"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit("http://www.w3.org/2001/XMLSchema#boolean").alias("o_datatype"),
+        )
+        graphs = triples.select("graph").distinct()
+        # only into IE graphs that actually exist; rows whose target graph
+        # is missing are reported, not silently dropped (the reference logs
+        # an ET_GEN error when it cannot read the model,
+        # EtextMigration.java:333-335)
+        ric_rows = ric_all.join(graphs, "graph", "leftsemi")
+        self._extra_errors.append(
+            ric_all.join(graphs, "graph", "left_anti").select(
+                F.col("graph").alias("rid"),
+                F.col("graph").alias("sub_rid"),
+                F.lit("ET_GEN:workAdmin").alias("etype"),
+                F.lit("missing IE graph for workAdmin ric propagation").alias("message"),
             )
-            # only into IE graphs that actually exist
-            .join(triples.select("graph").distinct(), "graph", "leftsemi")
         )
         return out.unionByName(ric_rows)
 
@@ -265,21 +298,36 @@ class Pipeline:
         )
         graphs = triples.select("graph").distinct()
 
-        def into(graph_prefix: str):
-            return (
-                repro.select(
-                    F.concat(F.lit(graph_prefix), F.col("work_rid")).alias("graph"),
-                    F.concat(F.lit(bdr + graph_prefix), F.col("work_rid")).alias("subject"),
-                    F.lit(bdo + "instanceHasReproduction").alias("predicate"),
-                    F.lit("iri").alias("o_kind"),
-                    F.concat(
-                        F.lit(bdr + "IE"), F.expr("substring(work_rid, 2)")
-                    ).alias("o_value"),
-                    F.lit(None).cast("string").alias("o_lang"),
-                    F.lit(None).cast("string").alias("o_datatype"),
-                )
-                .join(graphs, "graph", "leftsemi")
+        def rows_for(graph_prefix: str):
+            return repro.select(
+                F.concat(F.lit(graph_prefix), F.col("work_rid")).alias("graph"),
+                F.concat(F.lit(bdr + graph_prefix), F.col("work_rid")).alias("subject"),
+                F.lit(bdo + "instanceHasReproduction").alias("predicate"),
+                F.lit("iri").alias("o_kind"),
+                F.concat(
+                    F.lit(bdr + "IE"), F.expr("substring(work_rid, 2)")
+                ).alias("o_value"),
+                F.lit(None).cast("string").alias("o_lang"),
+                F.lit(None).cast("string").alias("o_datatype"),
             )
+
+        def into(graph_prefix: str):
+            rows = rows_for(graph_prefix)
+            # back-links whose target MW/W graph was never migrated are
+            # reported (reference logs ET_GEN when the model can't be read,
+            # EtextMigration.java:333-335,351-353), not silently dropped
+            self._extra_errors.append(
+                rows.join(graphs, "graph", "left_anti").select(
+                    F.col("graph").alias("rid"),
+                    F.col("graph").alias("sub_rid"),
+                    F.lit("ET_GEN:repro").alias("etype"),
+                    F.concat(
+                        F.lit("missing instance graph for back-link to "),
+                        F.col("o_value"),
+                    ).alias("message"),
+                )
+            )
+            return rows.join(graphs, "graph", "leftsemi")
 
         # instance graph (bdr:M<rid>) and image-instance graph (bdr:<rid>)
         return triples.unionByName(into("M")).unionByName(into(""))

@@ -10,8 +10,8 @@ Shingling: word 3-grams. The synthetic corpus has planted near-duplicates
 0.8 threshold is robust on both the exact and the LSH path.
 
 Scale notes (100 TB): every step is a shuffle on (doc hash | shingle |
-band-bucket) — no driver-side state. MinHash uses 64 independent md5-derived
-hash functions folded into 32 bands x 2 rows, giving P(miss) = (1-s^2)^32
+band-bucket) — no driver-side state. MinHash uses 64 seeded xxhash64
+functions folded into 32 bands x 2 rows, giving P(miss) = (1-s^2)^32
 (~1e-23 at s=0.9): candidates are then *exactly* verified, so precision is
 1.0 and recall is the banding recall. The bucket self-join is the classic
 LSH trick that replaces the O(n^2) pair join with O(sum bucket^2).
@@ -169,28 +169,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize shingles once: reused by signature agg, exact-verify (both
     # sides) and sizes — without this the scan+shingle runs 4x
     sh = shingle_df(spark, sf_dir).localCheckpoint(eager=False)
-    # 64 md5-derived hash functions; minhash signature = per-doc min of each
+    # 64 seeded xxhash64 functions (one JVM long hash each — no string md5
+    # materialization; the hash family is free to differ from the oracle's
+    # because candidates are exactly verified afterwards)
     hash_cols = [
-        F.min(
-            F.conv(F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))), 1, 15), 16, 10).cast(
-                "long"
-            )
-        ).alias(f"h{i}")
-        for i in range(N_HASHES)
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(N_HASHES)
     ]
     sig = sh.groupBy("doc_id").agg(*hash_cols).select(
         "doc_id",
-        F.array(*[F.col(f"h{i}").cast("string") for i in range(N_HASHES)]).alias("sig"),
+        F.array(*[F.col(f"h{i}") for i in range(N_HASHES)]).alias("sig"),
     )
     # banding: 32 bands x 2 rows, emitted in ONE pass via explode (a 32-way
-    # union would recompute the signature aggregation per branch)
+    # union would recompute the signature aggregation per branch); bucket id
+    # is a single long xxhash64 over the band's slice of the signature —
+    # no string materialization anywhere in the LSH path
     rows_per_band = N_HASHES // N_BANDS
     buckets = sig.select(
         "doc_id",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {N_BANDS - 1}), b -> "
-                f"struct(b AS band, md5(concat_ws('_', slice(sig, b * {rows_per_band} + 1, {rows_per_band}))) AS bucket))"
+                f"struct(b AS band, xxhash64(slice(sig, b * {rows_per_band} + 1, {rows_per_band})) AS bucket))"
             )
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))

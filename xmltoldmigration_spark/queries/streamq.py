@@ -53,8 +53,8 @@ def stream_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), s AS (
       SELECT user_id, event_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM g
     )
     SELECT user_id, session_id, COUNT(*) AS n_events, MIN(event_id) AS first_event
