@@ -32,6 +32,15 @@ def main() -> None:
     ap.add_argument("--fixtures", action="store_true", help="use the reference golden corpus")
     ap.add_argument("--out", required=True)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--femc-seed", action="store_true",
+                    help="seed abstract FEMC works from femc-works.csv "
+                         "before migration (MigrationApp.java:758)")
+    ap.add_argument("--rkts-dir",
+                    help="directory of rKTs-migration TTL output to merge "
+                         "as a second source (rKTsTransfer.doTransfer)")
+    ap.add_argument("--split-outlines", action="store_true",
+                    help="route rKTs edition files into seeded O* outline "
+                         "graphs (rKTsTransfer.java:80-88)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -52,8 +61,19 @@ def main() -> None:
     else:
         ap.error("one of --src / --synthetic / --fixtures required")
 
+    extra = None
+    if args.femc_seed:
+        from xmltoldmigration_spark.kg.transfers.femc import femc_seed_parsed
+
+        extra = femc_seed_parsed(spark)
+    if args.rkts_dir:
+        from xmltoldmigration_spark.kg.transfers.rkts import rkts_parsed
+
+        rk = rkts_parsed(spark, args.rkts_dir, split_outlines=args.split_outlines)
+        extra = rk if extra is None else extra.unionByName(rk)
+
     pipe = Pipeline(spark, args.out)
-    final = pipe.run(src, resume=not args.no_resume)
+    final = pipe.run(src, resume=not args.no_resume, extra_parsed=extra)
     print(json.dumps({"triples": final.count(), "lineage": pipe.lineage()}))
     spark.stop()
 

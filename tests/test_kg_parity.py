@@ -104,3 +104,32 @@ def test_per_row_sha256_equality():
         else:
             golden = parse_ttl_file(str(TTL_DIR / f"{name}.ttl"))
         assert rows_sha256(ours) == rows_sha256(golden), name
+
+
+def test_etext_content_nopages_golden():
+    """MigrationTest.java:546-556: migrating EtextTest.xml with
+    isPaginated=false must produce EtextTest-content-noPages.txt
+    byte-exactly (the reference compares against correctContent.trim())."""
+    import xml.etree.ElementTree as ET
+
+    from xmltoldmigration_spark.kg.authority import get_authority
+    from xmltoldmigration_spark.kg.common import Ctx
+    from xmltoldmigration_spark.kg.migrators import etext as etext_mod
+    from xmltoldmigration_spark.kg.model import BDA, BDR
+
+    xml_path = XML_DIR / "EtextTest.xml"
+    golden = (XML_DIR.parent / "ttl" / "EtextTest-content-noPages.txt").read_text(
+        encoding="utf-8"
+    )
+    root = ET.fromstring(xml_path.read_text(encoding="utf-8"))
+    ctx = Ctx(auth=get_authority(test_mode=True))
+    _, _, content = etext_mod.migrate_one_etext(
+        root, ctx,
+        is_paginated=False,
+        needs_page_name_translation=False,
+        provider_uri=BDA + "CP001",
+        collection_uri=BDR + "PR0ET001",
+        first=True,
+        test_mode=True,
+    )
+    assert content == golden.strip()

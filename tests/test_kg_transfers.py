@@ -81,3 +81,116 @@ def test_eapfonds_structure():
     # determinism
     emitters2 = eapfonds.resources_from_lines(lines, ctx, simplified=False)
     assert [sorted(em.triples) for em in emitters] == [sorted(em.triples) for em in emitters2]
+
+
+def test_femc_works_seed_structure():
+    """FEMC works seed (FEMCTransfer.java:37-70): no golden fixture exists
+    (the seed runs only in the main app, MigrationApp.java:758), so assert
+    the reference's output shape on the real femc-works.csv: one released
+    CC0 abstract Work per row with km / km-x-twktt prefLabels, workIsAbout,
+    language, and a U00092 InitialDataCreation log entry."""
+    from xmltoldmigration_spark.kg.authority import get_authority
+    from xmltoldmigration_spark.kg.common import Ctx
+    from xmltoldmigration_spark.kg.transfers import femc
+
+    if not femc.WORKS_CSV.exists():
+        pytest.skip("femc-works.csv not present")
+    rows = femc.load_works_csv()
+    assert len(rows) > 700
+    ctx = Ctx(auth=get_authority(test_mode=True), one_direction=False)
+    bdo = "http://purl.bdrc.io/ontology/core/"
+    adm = "http://purl.bdrc.io/ontology/admin/"
+    bdr = "http://purl.bdrc.io/resource/"
+    bda = "http://purl.bdrc.io/admindata/"
+    for line in rows[:5] + rows[-2:]:
+        (em,) = femc.resources_from_line(line, ctx)
+        assert em.graph == line[0] and em.graph.startswith("WA1FEMC")
+        t = set(em.triples)
+        s = bdr + line[0]
+        assert (s, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "iri", bdo + "Work", None, None) in t
+        labels = {(k[4], k[3]) for k in t if k[1].endswith("prefLabel") and k[0] == s}
+        assert ("km", line[1]) in labels and ("km-x-twktt", line[2]) in labels
+        assert (s, bdo + "workIsAbout", "iri", bdr + line[5], None, None) in t
+        assert (s, bdo + "language", "iri", bdr + line[6], None, None) in t
+        adm_s = bda + line[0]
+        assert (adm_s, adm + "status", "iri", bda + "StatusReleased", None, None) in t
+        assert (adm_s, adm + "metadataLegal", "iri", bda + "LD_BDRC_CC0", None, None) in t
+        logs = [k for k in t if k[1] == adm + "logEntry" and k[0] == adm_s]
+        assert len(logs) == 1
+        log_node = logs[0][3]
+        assert (log_node, adm + "logWho", "iri",
+                "http://purl.bdrc.io/resource-nc/user/U00092", None, None) in t
+        assert (log_node, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "iri",
+                adm + "InitialDataCreation", None, None) in t
+
+
+def test_rkts_transfer_routing(tmp_path):
+    """J20 (rKTsTransfer.java:110-184): edition files route to the base
+    instance graph, WA0R* abstracts gain a released CC0 AdminData sidecar,
+    unknown-edition and unreadable files degrade to error rows, and
+    splitOutlines seeds O* outline graphs for every known edition."""
+    from xmltoldmigration_spark.kg.transfers import rkts
+
+    d = tmp_path / "rkts"
+    rkts.write_synthetic_ttl_dir(str(d), n_works=4)
+
+    def run(split):
+        rows = []
+        for f in sorted(d.glob("*.ttl")):
+            rows.extend(rkts.triples_for_file(f.name, f.read_text(), split))
+        return rows
+
+    rows = run(False)
+    by_stream = {}
+    for r in rows:
+        by_stream.setdefault(r[0], []).append(r)
+    graphs = {r[1] for r in by_stream["triple"]}
+    # edition part files merged into the base edition graph
+    assert rkts.EDITION_RIDS[0] in graphs and rkts.EDITION_RIDS[2] in graphs
+    assert not any("_" in g for g in graphs)
+    # WA0R* admin sidecar
+    adm = "http://purl.bdrc.io/ontology/admin/"
+    bda = "http://purl.bdrc.io/admindata/"
+    wa_rows = [r for r in by_stream["triple"] if r[1] == "WA0RT0000"]
+    assert any(r[3] == adm + "metadataLegal" and r[5] == bda + "LD_rKTs_CC0" for r in wa_rows)
+    assert any(r[3] == adm + "status" and r[5] == bda + "StatusReleased" for r in wa_rows)
+    # plain work file: no admin sidecar injected
+    plain = [r for r in by_stream["triple"] if r[1] == "W0RKPLAIN"]
+    assert plain and not any(r[3] == adm + "metadataLegal" for r in plain)
+    # errors: unknown edition base + broken TTL
+    errs = {r[2] for r in by_stream["error"]}
+    assert "MW9NOTANEDITION_001" in errs and "BROKEN" in errs
+    # splitOutlines routes editions into O* graphs
+    rows_split = run(True)
+    split_graphs = {r[1] for r in rows_split if r[0] == "triple"}
+    assert "O" + rkts.EDITION_RIDS[0][2:] in split_graphs
+    assert rkts.EDITION_RIDS[0] not in split_graphs
+
+
+def test_rkts_pipeline_merge(tmp_path):
+    """rKTs rows union into the pipeline as a second source: triples land
+    in the final graph table and error rows land in the errors side table."""
+    import pytest as _pytest
+
+    _pytest.importorskip("pyspark")
+    from xmltoldmigration_spark.kg.transfers import rkts
+    from xmltoldmigration_spark.plans.pipeline import Pipeline
+    from xmltoldmigration_spark.session import get_spark
+    from xmltoldmigration_spark.sources import corpus
+
+    spark = get_spark("rkts-merge-test", master="local[4]", shuffle_partitions=8)
+    d = tmp_path / "rkts"
+    rkts.write_synthetic_ttl_dir(str(d), n_works=4)
+    src = corpus.load_synthetic_src(spark, 30, num_partitions=2)
+    extra = rkts.rkts_parsed(spark, str(d))
+    final = Pipeline(spark, str(tmp_path / "out")).run(
+        src, resume=False, extra_parsed=extra
+    )
+    graphs = {r.graph for r in final.select("graph").distinct().collect()}
+    assert "WA0RT0000" in graphs and rkts.EDITION_RIDS[0] in graphs
+    from pyspark.sql import functions as F
+    import pyspark.sql as _sql
+
+    errors = spark.read.parquet(str(tmp_path / "out" / "errors"))
+    etypes = {r.etype for r in errors.collect()}
+    assert "rkts" in etypes

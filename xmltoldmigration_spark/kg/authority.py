@@ -85,6 +85,15 @@ class Authority:
     genre_topics: set = field(default_factory=set)  # topic rids tagged workGenre
     trad_chars: set = field(default_factory=set)  # traditional-only CJK chars
 
+    _rkts_to_wa: dict | None = None
+
+    def rkts_to_wa(self, rkts: str):
+        """Inverse of abstract-rkts.csv (WA rid -> rKTs id), built once per
+        Authority instance instead of per transfer call."""
+        if self._rkts_to_wa is None:
+            self._rkts_to_wa = {v: k for k, v in self.abstract_rkts.items()}
+        return self._rkts_to_wa.get(rkts)
+
     def sanitize_rid(self, rid: str) -> str:
         """MigrationHelpers.sanitizeRID:456-463 — redirect withdrawn RIDs."""
         return self.rid_replacements.get(rid, rid)

@@ -53,6 +53,7 @@ def migrate_record(rtype: str, content: str, ctx: Ctx):
     )
 
     root = ET.fromstring(content)
+    ctx.result.status = root.get("status", "")
     dispatch = {
         "person": person.migrate,
         "topic": topic.migrate,
@@ -79,7 +80,7 @@ def migrate_record(rtype: str, content: str, ctx: Ctx):
     fn = dispatch.get(rtype)
     if fn is None:
         raise ValueError(f"unknown record type {rtype!r}")
-    status = root.get("status", "")
+    status = ctx.result.status
     emitters = fn(root, ctx)
     if status in ("withdrawn", "onHold") and rtype not in ("pubinfo", "scanrequest"):
         _add_withdrawn_redirect(root, ctx, emitters, rtype)

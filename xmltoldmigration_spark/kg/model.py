@@ -176,6 +176,8 @@ class RecordResult:
     links        -- (src_rid, prop, dst_rid) outbound references for the
                     dangling-link report (MigrationHelpers.recordLinkTo)
     contents     -- (id, text) side outputs (etext bodies)
+    status       -- the record root's status attribute, captured during
+                    migrate_record so the parse stage needn't re-parse
     """
 
     triples: list = field(default_factory=list)
@@ -183,3 +185,4 @@ class RecordResult:
     errors: list = field(default_factory=list)
     links: list = field(default_factory=list)
     contents: list = field(default_factory=list)
+    status: str = ""

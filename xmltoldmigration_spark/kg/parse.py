@@ -68,10 +68,8 @@ def _parse_batches(batches):
             except Exception as e:  # record-level failure -> error row
                 out.append(("error", rid, rid, "parse", None, f"{type(e).__name__}: {e}", None, None))
                 continue
-            import xml.etree.ElementTree as ET
-
-            status = ET.fromstring(content).get("status", "")
-            out.append(("status", rid, rid, None, None, status, None, None))
+            # status was captured during migrate_record — no second parse
+            out.append(("status", rid, rid, None, None, ctx.result.status, None, None))
             for em in emitters:
                 for (g, s, p, k, v, lang, dt) in em.rows():
                     out.append(("triple", g, s, p, k, v, lang, dt))

@@ -36,10 +36,9 @@ def rkts_to_bdr(ctx: Ctx, rkts: str, indic_version: bool) -> str | None:
     """EAPTransfer.rKTsToBDR:125-142 via abstract-rkts.csv."""
     if not rkts or "?" in rkts:
         return None
-    inv = {v: k for k, v in ctx.auth.abstract_rkts.items()}
     # abstract-rkts.csv maps WA rid -> rKTs id; the transfer needs the
-    # inverse keyed on the rKTs id
-    wa = inv.get(rkts)
+    # inverse keyed on the rKTs id (cached on the Authority object)
+    wa = ctx.auth.rkts_to_wa(rkts)
     if wa is not None:
         return wa
     rktsid = rkts[1:]

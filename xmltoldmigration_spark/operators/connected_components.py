@@ -29,15 +29,17 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iterations: int = 50,
-    driver_threshold: int = 2_000_000,
+    driver_threshold: int = 250_000,
 ) -> DataFrame:
     """Return DataFrame[node, component] where component = min node id
     reachable from `node` over the undirected edge set.
 
-    Size-adaptive: an edge list under `driver_threshold` rows is
-    broadcast-scale authority data — a driver-side union-find computes
-    components in one pass with zero shuffles, exactly like any other
-    broadcast side-table.  Above the threshold the distributed
+    Size-adaptive: an edge list under `driver_threshold` rows (default
+    250k — comfortably above the ~130k-row authority cluster lists this
+    pipeline feeds it, and small enough that the collect can't strain the
+    driver) is broadcast-scale authority data — a driver-side union-find
+    computes components in one pass with zero shuffles, exactly like any
+    other broadcast side-table.  Above the threshold the distributed
     min-propagation loop below takes over (each iteration one shuffle
     join + aggregation, lineage truncated by localCheckpoint).
 

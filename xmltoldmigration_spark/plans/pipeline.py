@@ -107,7 +107,8 @@ class Pipeline:
     # ------------------------------------------------------------ stages
 
     def run(self, src: DataFrame, resume: bool = True,
-            materialize: str = "minimal") -> DataFrame:
+            materialize: str = "minimal",
+            extra_parsed: DataFrame | None = None) -> DataFrame:
         """materialize='minimal' (default): stages 2-5 fuse into ONE
         write — Catalyst pipelines the narrow joins/dedups, and per-stage
         lineage still lands via observe() points inside the single plan.
@@ -123,7 +124,13 @@ class Pipeline:
         if resume and self._done("parsed"):
             parsed = self._read_stage("parsed")
         else:
-            parsed = self._write_stage("parsed", parse_src(src))
+            parsed = parse_src(src)
+            # seed graphs from CSV transfer sources (e.g. the FEMC works
+            # seed the reference runs ahead of the XML work migration,
+            # MigrationApp.java:758) union in before the stage write
+            if extra_parsed is not None:
+                parsed = parsed.unionByName(extra_parsed)
+            parsed = self._write_stage("parsed", parsed)
         streams = split_streams(parsed)
 
         if materialize == "all":
@@ -458,5 +465,6 @@ class Pipeline:
         return links.join(released, "dst_rid", "left_anti")
 
 
-def run_pipeline(spark: SparkSession, src: DataFrame, out_dir: str, resume: bool = True) -> DataFrame:
-    return Pipeline(spark, out_dir).run(src, resume=resume)
+def run_pipeline(spark: SparkSession, src: DataFrame, out_dir: str, resume: bool = True,
+                 extra_parsed: DataFrame | None = None) -> DataFrame:
+    return Pipeline(spark, out_dir).run(src, resume=resume, extra_parsed=extra_parsed)

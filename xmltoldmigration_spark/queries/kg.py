@@ -130,6 +130,31 @@ def kg_title_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kg_rkts_transfer",
+    oracle=None,
+    survey_ref="J20: rKTs TTL corpus merged as a second triple source",
+)
+def kg_rkts_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL parsing is non-SQL -> rows-only.  Deterministic: the synthetic
+    TTL directory is a pure function of its generator parameters."""
+    import tempfile
+
+    from xmltoldmigration_spark.kg.transfers.rkts import (
+        rkts_parsed,
+        write_synthetic_ttl_dir,
+    )
+
+    d = tempfile.mkdtemp(prefix="rkts_")
+    write_synthetic_ttl_dir(d, n_works=max(10, _n_for(sf_dir) // 20))
+    parsed = rkts_parsed(spark, d)
+    return (
+        parsed.groupBy("stream", "graph")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("stream", "graph")
+    )
+
+
+@register(
     "kg_canonical_serialization",
     oracle=None,
     survey_ref="K1: canonical per-graph serialization, partition-invariant sha256",

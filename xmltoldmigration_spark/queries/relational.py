@@ -482,3 +482,71 @@ def set_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
     c = cust.filter(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("custkey"))
     return a.union(b).distinct().subtract(c)
+
+
+# --------------------------------------------------------------------------
+# C12/C13 image-list RLE: the reference's addImageList run-length logic
+# (helpers/ImageListTranslation.java:26-111) re-expressed set-oriented —
+# consecutive-number runs become `IMG<start>.tif:<count>` tokens via the
+# classic gaps-and-islands window (num - row_number = island id).  The
+# scalar encoder in functions/imagelist.py stays the record-local C12
+# implementation (pinned to MigrationTest cases); this embodiment shows
+# the same RLE semantics is SQL-expressible and oracle-checkable.
+# --------------------------------------------------------------------------
+@register(
+    "c12_imagelist_rle",
+    oracle="""
+    WITH nums AS (
+      SELECT DISTINCT user_id AS grp, CAST(event_id % 10000 AS INT) AS num
+      FROM events
+    ), runs AS (
+      SELECT grp, num,
+             num - ROW_NUMBER() OVER (PARTITION BY grp ORDER BY num) AS island
+      FROM nums
+    ), agg AS (
+      SELECT grp, island, MIN(num) AS run_start, COUNT(*) AS cnt
+      FROM runs GROUP BY 1, 2
+    )
+    SELECT grp,
+           string_agg('IMG' || lpad(CAST(run_start AS VARCHAR), 4, '0')
+                      || '.tif:' || CAST(cnt AS VARCHAR),
+                      '|' ORDER BY run_start) AS rle,
+           CAST(SUM(cnt) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(run_start + cnt - 1) - MIN(run_start) + 1 - SUM(cnt) AS BIGINT)
+               AS n_missing
+    FROM agg GROUP BY grp
+    """,
+    survey_ref="C12/C13 image-list RLE (gaps-and-islands windows)",
+)
+def c12_imagelist_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    nums = ev.select(
+        F.col("user_id").alias("grp"),
+        (F.col("event_id") % 10000).cast("int").alias("num"),
+    ).distinct()
+    w = W.partitionBy("grp").orderBy("num")
+    runs = nums.withColumn("island", F.col("num") - F.row_number().over(w))
+    agg = runs.groupBy("grp", "island").agg(
+        F.min("num").alias("run_start"), F.count(F.lit(1)).alias("cnt")
+    )
+    token = lambda s: F.concat(  # noqa: E731
+        F.lit("IMG"),
+        F.lpad(s["run_start"].cast("string"), 4, "0"),
+        F.lit(".tif:"),
+        s["cnt"].cast("string"),
+    )
+    return agg.groupBy("grp").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("run_start", "cnt"))), token
+            ),
+            "|",
+        ).alias("rle"),
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        (
+            F.max(F.col("run_start") + F.col("cnt") - 1)
+            - F.min("run_start") + 1 - F.sum("cnt")
+        ).cast("bigint").alias("n_missing"),
+    )
