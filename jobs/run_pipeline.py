@@ -49,7 +49,9 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("xmltoldmigration-kg").getOrCreate()
     if args.src:
-        src = spark.read.parquet(args.src)
+        from xmltoldmigration_spark.sources.iceberg import load_src
+
+        src = load_src(spark, args.src)
     elif args.synthetic:
         from xmltoldmigration_spark.sources.corpus import load_synthetic_src
 

@@ -133,3 +133,35 @@ def test_etext_content_nopages_golden():
         test_mode=True,
     )
     assert content == golden.strip()
+
+
+def test_split_items_modes():
+    """WorkMigration.splitItems (java:56; MigrationTest.java:75 pins
+    false): with split_items=True (production default) FPL items and
+    pubinfo holdings become separate IT* graphs; with False their triples
+    merge into the instance's own graph.  The triple SET is identical
+    either way — only the graph routing differs."""
+    from xmltoldmigration_spark.kg.authority import get_authority
+    from xmltoldmigration_spark.kg.common import Ctx
+    from xmltoldmigration_spark.kg.migrators import migrate_record
+
+    for name, rtype in (("WorkTestFPL", "work"), ("PubinfoTest", "pubinfo")):
+        content = (XML_DIR / f"{name}.xml").read_text(encoding="utf-8")
+
+        def run(split):
+            ctx = Ctx(auth=get_authority(test_mode=True), split_items=split)
+            ems = migrate_record(rtype, content, ctx)
+            rows = [(g, s, p, k, v, lang, dt)
+                    for em in ems for (g, s, p, k, v, lang, dt) in em.rows()]
+            return ems, rows
+
+        ems_split, rows_split = run(True)
+        ems_merged, rows_merged = run(False)
+        it_graphs_split = {em.graph for em in ems_split if em.graph.startswith("IT")}
+        it_graphs_merged = {em.graph for em in ems_merged if em.graph.startswith("IT")}
+        assert it_graphs_split and not it_graphs_merged, name
+        # same triples, different graph routing
+        assert {r[1:] for r in rows_split} == {r[1:] for r in rows_merged}, name
+        # merged mode: the item root triples live in a non-IT graph
+        item_rows = [r for r in rows_merged if r[1].rsplit("/", 1)[-1].startswith("IT")]
+        assert item_rows and all(not r[0].startswith("IT") for r in item_rows), name

@@ -190,3 +190,32 @@ def test_etext_backlinks(spark, tmp_path):
         & (F.col("graph") == "MW9X5")
     ).collect()
     assert any(r.o_value.endswith("/IE9X5") for r in rows)
+
+
+def test_iceberg_adapter_parquet_fallback(spark, tmp_path):
+    """sources/iceberg.py: without an Iceberg catalog the adapter reads/
+    writes parquet with the same partition layout the Iceberg branch
+    declares (type_part dirs + materialized subject_bucket)."""
+    from xmltoldmigration_spark.sources import corpus
+    from xmltoldmigration_spark.sources.iceberg import (
+        iceberg_available,
+        load_src,
+        write_graph_table,
+    )
+
+    assert not iceberg_available(spark)
+    src = corpus.load_synthetic_src(spark, 20, num_partitions=2)
+    p = str(tmp_path / "src_parquet")
+    src.write.parquet(p)
+    back = load_src(spark, p)
+    assert back.count() == 20 and set(back.columns) == set(src.columns)
+    final = Pipeline(spark, str(tmp_path / "pipe")).run(back, resume=False)
+    out = str(tmp_path / "graph_table")
+    write_graph_table(final, out)
+    import pathlib
+
+    parts = {d.name for d in pathlib.Path(out).iterdir() if d.is_dir()}
+    assert any(d.startswith("type_part=") for d in parts)
+    again = spark.read.parquet(out)
+    assert again.count() == final.count()
+    assert "subject_bucket" in again.columns

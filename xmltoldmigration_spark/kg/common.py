@@ -102,6 +102,11 @@ class Ctx:
     # True when running the full-corpus pipeline (MigrationApp shape);
     # False replicates the per-record test wrappers (MigrationTest shape)
     app_mode: bool = False
+    # WorkMigration.splitItems (java:56, default true in production;
+    # MigrationTest.java:75 sets false): item models from work
+    # descriptions / pubinfo holdings become separate IT* graphs when
+    # true, or merge into the instance's own graph when false
+    split_items: bool = True
 
     @property
     def add_item_for_work(self) -> bool:
@@ -973,7 +978,9 @@ def add_descriptions(
         if prop_uri == "__fpl":
             if fpl_item is None:
                 fpl_local = "IT" + rez_local[1:]
-                fpl_em = Emitter(graph=fpl_local)
+                # splitItems=false (WorkMigration.java:464-468) merges the
+                # item model into the work's own graph
+                fpl_em = Emitter(graph=fpl_local) if ctx.split_items else em
                 fpl_item = BDR + fpl_local
                 adm = create_admin_root(fpl_em, fpl_item)
                 if ctx.add_item_for_work:
@@ -1017,7 +1024,9 @@ def add_descriptions(
             fpl_em.add(fpl_item, BDO + "itemShelf", lit(shelf))
     if fpl_desc is not None:
         em.add(rez, BDO + "biblioNote", lit(fpl_desc, "en"))
-    return fpl_em
+    # merged-item mode returns None: the triples already live in `em`,
+    # so callers must not append the same emitter a second time
+    return fpl_em if fpl_em is not em else None
 
 
 # ---------------------------------------------------------------- titles

@@ -388,7 +388,9 @@ def migrate_into(
     # holdings -> item graphs (IT…_NNN)
     for i, current in enumerate(C.elems(root, NS, "holding")):
         item_name = "IT" + C._local(main)[1:] + "_%03d" % (i + 1)
-        it_em = Emitter(graph=item_name)
+        # splitItems=false (PubinfoMigration.java:674-679) writes holdings
+        # into the instance's own model instead of separate IT* graphs
+        it_em = Emitter(graph=item_name) if ctx.split_items else em
         holding = BDR + item_name
         it_em.add(holding, RDF_TYPE, iri(BDO + "Item"))
         if ctx.add_item_for_work:
@@ -410,7 +412,8 @@ def migrate_into(
             else:
                 ctx.error("gen", C._local(main), C._local(main), "holding",
                           "Pubinfo holding has no library RID!")
-        extra_emitters.append(it_em)
+        if it_em is not em:
+            extra_emitters.append(it_em)
     return extra_emitters
 
 

@@ -67,7 +67,12 @@ def connected_components(
                 parent[hi] = lo
         nodes = {n for row in rows for n in row}
         out = [(n, find(n)) for n in sorted(nodes)]
-        return edges.sparkSession.createDataFrame(out, ["node", "comp"])
+        import pandas as pd
+
+        # pandas -> Arrow path avoids per-row Py4J conversion
+        return edges.sparkSession.createDataFrame(
+            pd.DataFrame(out, columns=["node", "comp"])
+        )
     # cluster pair lists are tiny relative to the triple table; bound the
     # task count so each min-propagation iteration isn't scheduling-bound
     n = edges.rdd.getNumPartitions()

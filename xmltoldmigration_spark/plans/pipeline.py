@@ -130,8 +130,25 @@ class Pipeline:
             # MigrationApp.java:758) union in before the stage write
             if extra_parsed is not None:
                 parsed = parsed.unionByName(extra_parsed)
-            parsed = self._write_stage("parsed", parsed)
+            # partition the tagged union by stream: every downstream
+            # stage filters on exactly one stream value, so the filter
+            # becomes partition PRUNING — the triple chain reads only
+            # triple files, the error/dangling/conflict side tables read
+            # only their (tiny) streams instead of re-scanning the full
+            # parse output
+            parsed = self._write_stage("parsed", parsed, partition_by=["stream"])
         streams = split_streams(parsed)
+        # the set of migrated graphs is invariant through link/admin/
+        # backlink stages (they only rewrite objects or add rows into
+        # graphs that already exist), so compute it ONCE from the parsed
+        # triples — a single column-pruned scan of the parse output —
+        # and reuse it in every existence semi/anti-join.  Without this
+        # each `.distinct()` re-executed the whole join chain (3 extra
+        # full-chain runs per pipeline).  localCheckpoint materializes
+        # the small list on first use.
+        graphs = (
+            streams["triples"].select("graph").distinct().localCheckpoint(eager=False)
+        )
 
         if materialize == "all":
             # stage 2: LINK (J1 runtime redirects + J13 admin propagation
@@ -140,15 +157,16 @@ class Pipeline:
                 triples = self._read_stage("linked")
             else:
                 linked = self._link(streams)
-                linked = self._propagate_work_admin(linked, streams)
-                linked = self._etext_backlinks(linked, streams)
+                linked = self._propagate_work_admin(linked, streams, graphs)
+                linked = self._etext_backlinks(linked, streams, graphs)
                 triples = self._write_stage("linked", linked)
             # stage 3: SYMMETRIC COMPLETION (A1)
             if resume and self._done("completed"):
                 triples = self._read_stage("completed")
             else:
                 triples = self._write_stage(
-                    "completed", self._complete_symmetric(triples, streams["symmetric"])
+                    "completed",
+                    self._complete_symmetric(triples, streams["symmetric"], graphs),
                 )
             # stage 4: CANONICALIZE (G1/G2)
             if resume and self._done("canonical"):
@@ -160,7 +178,9 @@ class Pipeline:
                 final = self._read_stage("graph")
             else:
                 final = self._write_stage(
-                    "graph", self._finalize(triples), partition_by=["type_part"]
+                    "graph",
+                    self._finalize(triples, streams["triples"]),
+                    partition_by=["type_part"],
                 )
         else:
             if resume and self._done("graph"):
@@ -169,16 +189,18 @@ class Pipeline:
                 from pyspark.sql import Observation
 
                 triples = self._link(streams)
-                triples = self._propagate_work_admin(triples, streams)
-                triples = self._etext_backlinks(triples, streams)
+                triples = self._propagate_work_admin(triples, streams, graphs)
+                triples = self._etext_backlinks(triples, streams, graphs)
                 obs_link = Observation("linked")
                 triples = triples.observe(obs_link, F.count(F.lit(1)).alias("rows"))
-                triples = self._complete_symmetric(triples, streams["symmetric"])
+                triples = self._complete_symmetric(triples, streams["symmetric"], graphs)
                 obs_sym = Observation("completed")
                 triples = triples.observe(obs_sym, F.count(F.lit(1)).alias("rows"))
                 triples = self._canonicalize(triples)
                 final = self._write_stage(
-                    "graph", self._finalize(triples), partition_by=["type_part"]
+                    "graph",
+                    self._finalize(triples, streams["triples"]),
+                    partition_by=["type_part"],
                 )
                 for name, obs in (("linked", obs_link), ("completed", obs_sym)):
                     with open(self.out / "_lineage" / f"{name}.json", "w") as f:
@@ -222,7 +244,8 @@ class Pipeline:
             .drop("_old_iri", "_new_iri")
         )
 
-    def _propagate_work_admin(self, triples: DataFrame, streams: dict) -> DataFrame:
+    def _propagate_work_admin(self, triples: DataFrame, streams: dict,
+                              graphs: DataFrame) -> DataFrame:
         """J13: the work record's archiveInfo (access/ric) overrides the
         defaults the etext migrator wrote on its IE instance admin
         (EtextMigration.java:494-499 reads WorkMigration.workAccessMap;
@@ -274,7 +297,6 @@ class Pipeline:
             F.lit(None).cast("string").alias("o_lang"),
             F.lit("http://www.w3.org/2001/XMLSchema#boolean").alias("o_datatype"),
         )
-        graphs = triples.select("graph").distinct()
         # only into IE graphs that actually exist; rows whose target graph
         # is missing are reported, not silently dropped (the reference logs
         # an ET_GEN error when it cannot read the model,
@@ -290,7 +312,8 @@ class Pipeline:
         )
         return out.unionByName(ric_rows)
 
-    def _etext_backlinks(self, triples: DataFrame, streams: dict) -> DataFrame:
+    def _etext_backlinks(self, triples: DataFrame, streams: dict,
+                         graphs: DataFrame) -> DataFrame:
         """J14: the reference re-opens the work/image-instance files to
         add instanceHasReproduction links to the new etext instance
         (EtextMigration.addReproToInstance:344-371); here the etext's
@@ -303,7 +326,6 @@ class Pipeline:
             .select(F.col("dst_rid").alias("work_rid"))
             .dropDuplicates(["work_rid"])
         )
-        graphs = triples.select("graph").distinct()
 
         def rows_for(graph_prefix: str):
             return repro.select(
@@ -339,13 +361,13 @@ class Pipeline:
         # instance graph (bdr:M<rid>) and image-instance graph (bdr:<rid>)
         return triples.unionByName(into("M")).unionByName(into(""))
 
-    def _complete_symmetric(self, triples: DataFrame, symmetric: DataFrame) -> DataFrame:
+    def _complete_symmetric(self, triples: DataFrame, symmetric: DataFrame,
+                            graphs: DataFrame) -> DataFrame:
         """A1: queued inverse edges land in their destination graph iff
         that graph was migrated (the reference only patches existing files,
         MigrationApp.insertMissingSymetricTriples:547-568), then dedup."""
         bdr = "http://purl.bdrc.io/resource/"
         bdo = "http://purl.bdrc.io/ontology/core/"
-        graphs = triples.select("graph").distinct()
         inverse = (
             symmetric.dropDuplicates(["dest_rid", "prop", "src_rid"])
             .join(graphs, symmetric.dest_rid == graphs.graph, "leftsemi")
@@ -383,7 +405,13 @@ class Pipeline:
         pairs = [(k, v) for k, v in auth.clusters.items()]
         if not pairs:
             return triples.dropDuplicates(dedup_cols)
-        edges = self.spark.createDataFrame(pairs, ["src", "dst"]).coalesce(4)
+        import pandas as pd
+
+        # pandas -> Arrow path: one zero-copy batch instead of per-row
+        # Py4J conversion of tens of thousands of tuples
+        edges = self.spark.createDataFrame(
+            pd.DataFrame(pairs, columns=["src", "dst"])
+        ).coalesce(4)
         comp = connected_components(edges)
         bdr = "http://purl.bdrc.io/resource/"
         rep = comp.filter(F.col("node") != F.col("comp")).select(
@@ -408,14 +436,22 @@ class Pipeline:
             ["graph", "subject", "predicate", "o_kind", "o_value", "o_lang", "o_datatype"]
         )
 
-    def _finalize(self, triples: DataFrame) -> DataFrame:
+    def _finalize(self, triples: DataFrame, parsed_triples: DataFrame) -> DataFrame:
         """Partitioning columns: rdf-type group of the graph's root + a
         hash bucket over subject (the reference's md5 sharding,
-        MigrationApp.getDstFileName:133-147)."""
+        MigrationApp.getDstFileName:133-147).
+
+        Root types come from `parsed_triples` (the materialized parse
+        output), not from the fully-chained `triples`: the graph->type
+        mapping is fixed at parse time (the reference routes each record
+        by its migrated type regardless of later cluster rewrites), and
+        reading it from the parquet-backed parse stage means the roots
+        subquery is one column-pruned scan instead of a second execution
+        of the whole link/complete/canonicalize chain."""
         rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
         bdr = "http://purl.bdrc.io/resource/"
         roots = (
-            triples.filter(
+            parsed_triples.filter(
                 (F.col("predicate") == rdf_type)
                 & (F.col("subject") == F.concat(F.lit(bdr), F.col("graph")))
             )
@@ -426,8 +462,10 @@ class Pipeline:
                 F.regexp_extract("_root_type", r"([^/#]+)$", 1).alias("type_part"),
             )
         )
+        # no broadcast hint: roots has one row per graph (data-derived,
+        # unbounded at corpus scale) — AQE broadcasts when actually small
         return (
-            triples.join(F.broadcast(roots), "graph", "left")
+            triples.join(roots, "graph", "left")
             .withColumn("type_part", F.coalesce("type_part", F.lit("Admin")))
             .withColumn(
                 "subject_bucket",
