@@ -219,3 +219,30 @@ def test_iceberg_adapter_parquet_fallback(spark, tmp_path):
     again = spark.read.parquet(out)
     assert again.count() == final.count()
     assert "subject_bucket" in again.columns
+
+
+def test_etext_page_name_translation(spark, tmp_path):
+    """App-mode UCB-OCR etexts (EtextBodyMigration.java:108-120): page `n`
+    attributes are image names; seqNum comes from the image's position in
+    the imagegroup's ondisk list via the distributed join — the leading
+    cover image shifts every page by one, the no-extension entry consumes
+    no position, and a missing image degrades to an ET_GEN error row."""
+    src = corpus.load_synthetic_src(spark, 60, num_partitions=2)
+    out = tmp_path / "pnt"
+    final = Pipeline(spark, str(out)).run(src, resume=False)
+    bdo = "http://purl.bdrc.io/ontology/core/"
+    g = "UT9XU29_I9XE29_0001"
+    rows = final.filter(F.col("graph") == g).collect()
+    assert rows, "UCB etext graph missing"
+    pages = {r.o_value for r in rows if r.predicate == bdo + "eTextHasPage"}
+    page_seqs = sorted(
+        int(r.o_value)
+        for r in rows
+        if r.predicate == bdo + "seqNum" and r.subject in pages
+    )
+    # pages 1..k translate to ondisk positions 2..k+1 (cover at 1)
+    assert page_seqs and page_seqs[0] == 2
+    assert page_seqs == list(range(2, 2 + len(page_seqs)))
+    errors = spark.read.parquet(str(out / "errors"))
+    msgs = [r.message for r in errors.filter(F.col("etype") == "ET_GEN:page").collect()]
+    assert any("IMG29-9999.tif" in m for m in msgs)

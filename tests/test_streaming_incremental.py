@@ -40,3 +40,66 @@ def test_stream_parse_exactly_once(spark, tmp_path):
     q.awaitTermination(120)
     n3 = spark.read.parquet(out_dir).filter(F.col("stream") == "triple").count()
     assert n3 == n2
+
+
+def test_stateful_sessionization_matches_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization over a 2-batch stream equals
+    the oracle-checked batch lag+cumsum query: sessions span micro-batch
+    boundaries via the carried (last_epoch, session) state."""
+    import time
+
+    from pyspark.sql.window import Window as W
+    from xmltoldmigration_spark.streaming.stateful import sessionize_stream
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").filter(
+        F.col("user_id") < 40
+    )
+    # split by TIME into two files so the session state must carry over
+    # (event-time order across batches is what the state contract assumes)
+    cut = ev.select(F.unix_timestamp("ts").alias("e")).approxQuantile("e", [0.5], 0.0)[0]
+    src_dir = tmp_path / "events_stream"
+    ev.filter(F.unix_timestamp("ts") <= cut).coalesce(1).write.parquet(str(src_dir))
+    time.sleep(1.1)  # file source orders batches by modification time
+    ev.filter(F.unix_timestamp("ts") > cut).coalesce(1).write.mode("append").parquet(str(src_dir))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir))
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sess_updates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update semantics: within one (user, session) the n_events of
+    # successive updates only grows and first_event only shrinks, so the
+    # final row is (max n_events, min first_event)
+    finals = (
+        spark.table("sess_updates")
+        .groupBy("user_id", "session_id")
+        .agg(F.max("n_events").alias("n_events"), F.min("first_event").alias("first_event"))
+    )
+    got = {
+        (r.user_id, r.session_id): (r.n_events, r.first_event)
+        for r in finals.collect()
+    }
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    batch = (
+        ev.withColumn("new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_id", F.sum("new_session").over(
+            w.rowsBetween(W.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("event_id").alias("first_event"))
+    )
+    want = {
+        (r.user_id, r.session_id): (r.n_events, r.first_event)
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 20

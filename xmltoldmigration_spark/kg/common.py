@@ -102,6 +102,10 @@ class Ctx:
     # True when running the full-corpus pipeline (MigrationApp shape);
     # False replicates the per-record test wrappers (MigrationTest shape)
     app_mode: bool = False
+    # source path of the record being migrated (set by the parse stage);
+    # etext migration derives the distributor from it
+    # (EtextMigration.migrateEtexts:153-240 walks distributor dirs)
+    src_path: str = ""
     # WorkMigration.splitItems (java:56, default true in production;
     # MigrationTest.java:75 sets false): item models from work
     # descriptions / pubinfo holdings become separate IT* graphs when

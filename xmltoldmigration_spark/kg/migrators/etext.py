@@ -85,11 +85,19 @@ _ID_P = re.compile(r"^UT[^_]+_([^_]+)_(\d+)$")
 
 
 def migrate(root: ET.Element, ctx: Ctx) -> list[Emitter]:
-    """Standalone shape = MigrationTest.testEtext:521-541 config."""
+    """Standalone shape = MigrationTest.testEtext:521-541 config.
+
+    In app mode the distributor directory in the source path decides
+    page-name translation (EtextMigration.java:170: UCB-OCR etext page
+    `n` attributes are image file names, not numbers)."""
+    npt = False
+    if ctx.app_mode:
+        parts = (ctx.src_path or "").split("/")
+        npt = len(parts) >= 3 and parts[1] == "UCB-OCR"
     etext_em, item_em, content = migrate_one_etext(
         root, ctx,
         is_paginated=True,
-        needs_page_name_translation=False,
+        needs_page_name_translation=npt,
         provider_uri=BDA + "CP001",
         collection_uri=BDR + "PR0ET001",
         first=True,
@@ -262,6 +270,28 @@ def migrate_body(
                     ctx.error("gen", etext_id, etext_id, "page", f"cannot find image {page_num}")
                 else:
                     em.add(page_r, BDO + "seqNum", integer(page_i))
+            elif needs_page_name_translation:
+                # distributed variant of EtextBodyMigration.java:108-120:
+                # instead of a record-local lookup into another record's
+                # file, emit a pageimg reference row; the pipeline joins
+                # it against the imagegroup's exploded ondisk list
+                # (plans/pipeline.py _resolve_etext_pages)
+                dotidx = page_num.rfind(".")
+                m = _ID_P.match(etext_id)
+                if dotidx == -1:
+                    ctx.error("gen", etext_id, etext_id, "page",
+                              f"strange image name in etext xml: {page_num}")
+                elif m is None:
+                    ctx.error("gen", etext_id, etext_id, "page",
+                              f"can't find image group id in {etext_id}")
+                else:
+                    ig = m.group(1)
+                    if not ig.startswith("I"):
+                        ig = "I" + ig
+                    ctx.result.contents.append((
+                        "pageimg:" + etext_id,
+                        "|".join([page_r, ig, page_num[:dotidx].lower(), page_num]),
+                    ))
             else:
                 try:
                     em.add(page_r, BDO + "seqNum", integer(int(page_num) + page_shift))

@@ -90,6 +90,16 @@ def migrate_into(
     C.add_status(em, adm_vol, status)
     C.add_log(ctx, em, root, adm_vol, NS, False)
     C.add_descriptions(ctx, em, root, vol, NS)
+    # raw ondisk image list side-output: feeds the distributed etext
+    # page-name translation join (MigrationHelpers.getImgmapForImggrp:
+    # 857-891 reads it back from the imagegroup file; here it rides the
+    # contents stream — the reference's LAST matching description wins)
+    imglist = None
+    for current in C.elems(root, NS, "description"):
+        if C.attr(current, "type").strip() in ("ondisk", "onDisk"):
+            imglist = C.text_of(current)
+    if imglist and imglist.strip():
+        ctx.result.contents.append(("imgmap:" + ig_rid, imglist))
     em.add(adm_vol, ADM + "metadataLegal", iri(BDA + "LD_BDRC_CC0"))
 
     for current in C.elems(root, NS, "images"):

@@ -61,7 +61,7 @@ def _parse_batches(batches):
     for pdf in batches:
         for path, content in zip(pdf["path"], pdf["content"]):
             rid = path.rsplit("/", 1)[-1].removesuffix(".xml")
-            ctx = Ctx(app_mode=True)
+            ctx = Ctx(app_mode=True, src_path=path)
             try:
                 rtype = rtype_from_path(path)
                 emitters = migrate_record(rtype, content, ctx)

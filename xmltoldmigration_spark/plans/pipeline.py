@@ -159,6 +159,7 @@ class Pipeline:
                 linked = self._link(streams)
                 linked = self._propagate_work_admin(linked, streams, graphs)
                 linked = self._etext_backlinks(linked, streams, graphs)
+                linked = self._resolve_etext_pages(linked, streams)
                 triples = self._write_stage("linked", linked)
             # stage 3: SYMMETRIC COMPLETION (A1)
             if resume and self._done("completed"):
@@ -191,6 +192,7 @@ class Pipeline:
                 triples = self._link(streams)
                 triples = self._propagate_work_admin(triples, streams, graphs)
                 triples = self._etext_backlinks(triples, streams, graphs)
+                triples = self._resolve_etext_pages(triples, streams)
                 obs_link = Observation("linked")
                 triples = triples.observe(obs_link, F.count(F.lit(1)).alias("rows"))
                 triples = self._complete_symmetric(triples, streams["symmetric"], graphs)
@@ -360,6 +362,71 @@ class Pipeline:
 
         # instance graph (bdr:M<rid>) and image-instance graph (bdr:<rid>)
         return triples.unionByName(into("M")).unionByName(into(""))
+
+    def _resolve_etext_pages(self, triples: DataFrame, streams: dict) -> DataFrame:
+        """App-mode etext page-name translation (EtextBodyMigration.java:
+        108-120 + MigrationHelpers.getImgmapForImggrp:857-891): UCB-OCR
+        etext pages carry image FILE NAMES; their seqNum is the image's
+        1-based position in the source imagegroup's ondisk list.
+
+        The reference re-opens the imagegroup XML per etext; here both
+        sides ride the parse output's contents stream and meet in ONE
+        distributed join — no record-local foreign-file reads.  Pages
+        whose image is absent from the list become ET_GEN error rows
+        (java:116-117), like every other dropped-row path."""
+        from pyspark.sql.window import Window
+
+        bdo = "http://purl.bdrc.io/ontology/core/"
+        contents = streams["contents"]
+        # imagegroup ondisk lists -> (ig, lowercase basename, 1-based seq);
+        # entries without an extension are skipped WITHOUT consuming a
+        # sequence number (java:883-886), hence row_number after the filter
+        entries = (
+            contents.filter(F.col("kind").startswith("imgmap:"))
+            .select(F.expr("substring(kind, 8)").alias("ig"), "payload")
+            .dropDuplicates(["ig"])
+            .select("ig", F.posexplode(F.split("payload", r"\|")))
+            .filter(F.col("col").contains("."))
+            .select(
+                "ig", "pos",
+                F.lower(F.regexp_replace("col", r"\.[^.]*$", "")).alias("img"),
+            )
+        )
+        w = Window.partitionBy("ig").orderBy("pos")
+        imgmap = entries.select("ig", "img", F.row_number().over(w).alias("seq"))
+        refs = (
+            contents.filter(F.col("kind").startswith("pageimg:"))
+            .select(
+                F.expr("substring(kind, 9)").alias("graph"),
+                F.split("payload", r"\|").alias("p"),
+            )
+            .select(
+                "graph",
+                F.col("p")[0].alias("subject"),
+                F.col("p")[1].alias("ig"),
+                F.col("p")[2].alias("img"),
+                F.col("p")[3].alias("orig"),
+            )
+        )
+        joined = refs.join(imgmap, ["ig", "img"], "left")
+        resolved = joined.filter(F.col("seq").isNotNull()).select(
+            "graph",
+            "subject",
+            F.lit(bdo + "seqNum").alias("predicate"),
+            F.lit("lit").alias("o_kind"),
+            F.col("seq").cast("string").alias("o_value"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit("http://www.w3.org/2001/XMLSchema#integer").alias("o_datatype"),
+        )
+        self._extra_errors.append(
+            joined.filter(F.col("seq").isNull()).select(
+                F.col("graph").alias("rid"),
+                F.col("graph").alias("sub_rid"),
+                F.lit("ET_GEN:page").alias("etype"),
+                F.concat(F.lit("cannot find image "), F.col("orig")).alias("message"),
+            )
+        )
+        return triples.unionByName(resolved)
 
     def _complete_symmetric(self, triples: DataFrame, symmetric: DataFrame,
                             graphs: DataFrame) -> DataFrame:

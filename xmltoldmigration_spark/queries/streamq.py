@@ -76,3 +76,45 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"), F.min("event_id").alias("first_event")
     )
+
+
+@register(
+    "stream_stateful_sessionization",
+    oracle=None,
+    survey_ref="streaming: applyInPandasWithState sessionization (custom stateful op)",
+)
+def stream_stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: Structured Streaming (availableNow) over the events
+    table through the stateful operator; final per-session aggregates
+    equal the oracle-checked batch twin (asserted by
+    tests/test_streaming_incremental.py)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from xmltoldmigration_spark.streaming.stateful import sessionize_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="sess_stream_")
+    ev.coalesce(2).write.mode("overwrite").parquet(d)
+    name = "sess_updates_" + uuid.uuid4().hex[:8]
+    stream = spark.readStream.schema(ev.schema).parquet(d)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = (
+        spark.table(name)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.min("first_event").alias("first_event"),
+        )
+    ).localCheckpoint()
+    shutil.rmtree(d, ignore_errors=True)
+    return out

@@ -204,11 +204,55 @@ def synth_etext_xml(i: int, seed: int = 42) -> str:
     )
 
 
+def synth_ucb_etext_xml(i: int, seed: int = 42) -> str:
+    """UCB-OCR distributor etext: page `n` attributes are image FILE
+    NAMES (EtextBodyMigration needsPageNameTranslation path)."""
+    rng = random.Random((seed << 37) ^ i)
+    work = f"W9X{i - 4}"
+    pages = []
+    for p in range(1, rng.randint(3, 5)):
+        lines = "".join(
+            f'<milestone unit="line" n="{ln}"/>{_name_for(rng)}་'
+            for ln in range(1, rng.randint(2, 4))
+        )
+        pages.append(f'<p n="IMG{i}-{p:04d}.tif">{lines}</p>')
+    # one page references an image absent from the ondisk list -> the
+    # pipeline must degrade it to an ET_GEN error row
+    pages.append(f'<p n="IMG{i}-9999.tif">{_name_for(rng)}་</p>')
+    return (
+        '<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader><fileDesc>'
+        f"<titleStmt><title>{_name_for(rng)}</title></titleStmt>"
+        f'<publicationStmt><idno type="TBRC_TEXT_RID">UT9XU{i}-I9XE{i}-0001</idno></publicationStmt>'
+        f'<sourceDesc><bibl><idno type="TBRC_RID">{work}</idno>'
+        f'<idno type="SRC_PATH">UCB-OCR/UT9XU{i}.xml</idno></bibl></sourceDesc>'
+        "</fileDesc></teiHeader><text><body><div>"
+        + "".join(pages)
+        + "</div></body></text></TEI>"
+    )
+
+
+def synth_imagegroup_xml(i: int, seed: int = 42) -> str:
+    """Imagegroup for the UCB-OCR etext of the same i: ondisk list with a
+    leading cover image (so translated seqNum = page index + 1) and a
+    no-extension entry that must not consume a sequence number."""
+    imgs = "|".join([f"COVER{i}.tif", "garbage"]
+                    + [f"IMG{i}-{p:04d}.tif" for p in range(1, 5)])
+    return "\n".join([
+        f'<ig:imagegroup xmlns:ig="http://www.tbrc.org/models/imagegroup#" RID="I9XE{i}" status="released">',
+        f'    <ig:description type="ondisk">{imgs}</ig:description>',
+        f'    <ig:isVolumeOf num="1" work="W9X{i - 4}"/>',
+        f'    <ig:images total="6"/>',
+        "</ig:imagegroup>",
+    ])
+
+
 def synthetic_rows_partition(start: int, end: int, seed: int = 42):
     """Rows [start, end) of the synthetic corpus — callable per partition.
 
     Mix: 50% person, 20% work, 10% pubinfo (enriching those works via the
-    J7 set-union merge), 10% place, 10% TEI etext."""
+    J7 set-union merge), 10% place, 10% TEI etext.  Every third etext is
+    a UCB-OCR one (image-name pagination) and brings its imagegroup
+    record along, so the page-name translation join is exercised."""
     for i in range(start, end):
         kind = i % 10
         if kind < 5:
@@ -223,6 +267,12 @@ def synthetic_rows_partition(start: int, end: int, seed: int = 42):
         elif kind == 8:
             rtype, xml = "place", synth_place_xml(i, seed)
             name = f"G9X{i}"
+        elif i % 30 == 29:
+            yield ("tbrc", f"tbrc-etexts/UCB-OCR/UT9XU{i}.xml", "v1", "xml",
+                   synth_ucb_etext_xml(i, seed))
+            yield ("tbrc", f"tbrc-imagegroups/I9XE{i}.xml", "v1", "xml",
+                   synth_imagegroup_xml(i, seed))
+            continue
         else:
             rtype, xml = "etext", synth_etext_xml(i, seed)
             name = f"UT9X{i}"
