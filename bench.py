@@ -49,6 +49,9 @@ HEADLINE = [
     "stream_tumbling_window_agg",
     "stream_sessionization",
     "multimodal_binary_metadata",
+    "c12_imagelist_rle",
+    "dedup_embedding_cosine",
+    "stream_stateful_sessionization",
 ]
 
 

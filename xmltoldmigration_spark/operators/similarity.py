@@ -112,3 +112,78 @@ def lsh_bucket_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "rk")
     )
+
+
+def exact_cosine_pairs(
+    df,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 16,
+):
+    """Exact all-pairs cosine >= threshold via BLOCKED numpy matmul.
+
+    The naive pair join evaluates an interpreted higher-order-function
+    dot product per pair (no codegen for HOFs) — ~50x slower than BLAS.
+    Here vectors group into `n_blocks` blocks, the (upper-triangle)
+    block-pair grid crosses, and ONE Arrow batch per block pair computes
+    the full cosine submatrix with a normalized matmul.  Work stays
+    O(n^2/blocks) per task and O(n^2) total — it is the exact baseline;
+    the LSH-bucketed path (lsh_bucket_topk) is the subquadratic one.
+    Each emitted pair is oriented (min_id, max_id), cosine rounded to 3
+    decimals (cross-engine float noise ~1e-7).
+    """
+    from pyspark.sql import functions as F
+
+    blocks = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .withColumn("blk", F.pmod(F.col("id"), F.lit(n_blocks)))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("id", "vec")).alias("vs"))
+    )
+    grid = (
+        blocks.select(F.col("blk").alias("blk_a"), F.col("vs").alias("vs_a"))
+        .crossJoin(
+            blocks.select(F.col("blk").alias("blk_b"), F.col("vs").alias("vs_b"))
+        )
+        .filter(F.col("blk_a") <= F.col("blk_b"))
+    )
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for vs_a, vs_b, same in zip(
+                pdf["vs_a"], pdf["vs_b"], pdf["blk_a"] == pdf["blk_b"]
+            ):
+                ids_a = np.array([r["id"] for r in vs_a], dtype=np.int64)
+                ids_b = np.array([r["id"] for r in vs_b], dtype=np.int64)
+                A = np.array([r["vec"] for r in vs_a], dtype=np.float64)
+                B = np.array([r["vec"] for r in vs_b], dtype=np.float64)
+                A /= np.linalg.norm(A, axis=1, keepdims=True)
+                B /= np.linalg.norm(B, axis=1, keepdims=True)
+                cos = A @ B.T
+                ii, jj = np.nonzero(cos >= threshold)
+                ia, ib = ids_a[ii], ids_b[jj]
+                keep = ia != ib
+                ia, ib, cv = ia[keep], ib[keep], cos[ii, jj][keep]
+                lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+                if same.item() if hasattr(same, "item") else same:
+                    # same block: the matrix contains each pair twice
+                    keep2 = ia < ib
+                    lo, hi, cv = lo[keep2], hi[keep2], cv[keep2]
+                out_a.append(lo)
+                out_b.append(hi)
+                out_c.append(cv)
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "cos_sim": np.round(np.concatenate(out_c), 3),
+                    }
+                )
+
+    return grid.mapInPandas(compute, "id_a bigint, id_b bigint, cos_sim double")

@@ -50,11 +50,14 @@ def a1_symmetric_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xmltoldmigration_spark.operators.symmetric import complete_symmetric
 
     li = load_table(spark, sf_dir, "lineitem")
+    # no pre-distinct: complete_symmetric ends in a full dropDuplicates,
+    # which subsumes it — one shuffle (with map-side partial dedup)
+    # instead of two
     edges = li.select(
         F.col("l_orderkey").alias("src"),
         F.lit("linkedTo").alias("pred"),
         (F.col("l_suppkey") + 1000000).alias("dst"),
-    ).distinct()
+    )
     return complete_symmetric(edges, {"linkedTo": "linkedFrom"})
 
 
