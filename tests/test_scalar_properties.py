@@ -84,3 +84,51 @@ def test_image_list_roundtrip_property(nums):
     decoded = get_image_nums(rle, missing)
     # every encoded image decodes to its ordinal position among pages
     assert set(decoded) == {f"img{n:04d}.tif" for n in nums}
+
+
+# ---------------------------------------------------------------- simhash
+
+@given(st.lists(st.text(alphabet="abcdefg ", min_size=0, max_size=30), max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_simhash_deterministic_and_batch_consistent(texts):
+    import pandas as pd
+
+    from xmltoldmigration_spark.operators.simhash import _simhash_values, simhash64
+
+    s = pd.Series(texts, dtype=object)
+    batch = _simhash_values(s.fillna("").str.split())
+    for t, v in zip(texts, batch):
+        assert simhash64(t) == int(v)
+        assert simhash64(t) == simhash64(t)
+
+
+def test_simhash_locality():
+    from xmltoldmigration_spark.operators.simhash import hamming64, simhash64
+
+    base = "the quick brown fox jumps over the lazy dog " * 30
+    near = base + "one extra token"
+    far = "completely different material about parquet row groups " * 30
+    assert hamming64(simhash64(base), simhash64(near)) <= 6
+    assert hamming64(simhash64(base), simhash64(far)) >= 20
+
+
+# ---------------------------------------------------------------- rkts ttl
+
+@given(st.integers(min_value=0, max_value=3))
+@settings(max_examples=10, deadline=None)
+def test_rkts_routing_pure(i):
+    from xmltoldmigration_spark.kg.transfers import rkts
+
+    ttl = ('@prefix bdr: <http://purl.bdrc.io/resource/> .\n'
+           '@prefix bdo: <http://purl.bdrc.io/ontology/core/> .\n'
+           f'bdr:X{i} a bdo:Work .\n')
+    rid = rkts.EDITION_RIDS[i]
+    rows = rkts.triples_for_file(f"{rid}_00{i}.ttl", ttl, False)
+    assert rows and all(r[0] == "triple" and r[1] == rid for r in rows)
+    rows_split = rkts.triples_for_file(f"{rid}_00{i}.ttl", ttl, True)
+    assert all(r[1] == "O" + rid[2:] for r in rows_split)
+    # WA0R abstract gains exactly 4 admin sidecar triples
+    wa_rows = rkts.triples_for_file(f"WA0RT{i:04d}.ttl", ttl, False)
+    adm = "http://purl.bdrc.io/ontology/admin/"
+    assert sum(1 for r in wa_rows if r[2].startswith("http://purl.bdrc.io/admindata/")
+               or r[3].startswith(adm)) >= 3
