@@ -11,8 +11,9 @@ set-oriented:
   only in the non-canonical direction is flipped, then dedup'd.
 
 Gender-aware kinship inverses (getKinSymInfo, reference
-SymetricNormalization.java:91-196) need the *target* node's attribute — an
-extra join the caller supplies via `attr_df` (see kg/linking.py).
+SymetricNormalization.java:91-196) need the *target* node's gender — they
+are resolved record-locally during person migration
+(kg/common.py `_kin_sym_info`), not by this generic operator.
 """
 
 from __future__ import annotations
