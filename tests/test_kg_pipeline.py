@@ -246,3 +246,25 @@ def test_etext_page_name_translation(spark, tmp_path):
     errors = spark.read.parquet(str(out / "errors"))
     msgs = [r.message for r in errors.filter(F.col("etype") == "ET_GEN:page").collect()]
     assert any("IMG29-9999.tif" in m for m in msgs)
+
+
+def test_materialize_all_equals_fused(spark, tmp_path):
+    """materialize='all' (per-stage parquet) must produce exactly the
+    fused path's triple set — including the round-2 J13/J14/page-name
+    stages — and resume from its per-stage markers."""
+    src = corpus.load_synthetic_src(spark, 60, num_partitions=2)
+    fused = Pipeline(spark, str(tmp_path / "fused")).run(src, resume=False)
+    pa = Pipeline(spark, str(tmp_path / "all"))
+    allm = pa.run(src, resume=False, materialize="all")
+    cols = ", ".join(c for c in fused.columns if c != "subject_bucket")
+    hf = fused.select(F.expr(f"bit_xor(xxhash64({cols}))")).collect()[0][0]
+    ha = allm.select(F.expr(f"bit_xor(xxhash64({cols}))")).collect()[0][0]
+    assert fused.count() == allm.count() > 0
+    assert hf == ha
+    # resume: all stage markers honored, same result
+    again = Pipeline(spark, str(tmp_path / "all")).run(
+        src, resume=True, materialize="all"
+    )
+    assert again.count() == allm.count()
+    stages = {r["stage"] for r in pa.lineage()}
+    assert {"parsed", "linked", "completed", "canonical", "graph"} <= stages
