@@ -268,3 +268,22 @@ def test_materialize_all_equals_fused(spark, tmp_path):
     assert again.count() == allm.count()
     stages = {r["stage"] for r in pa.lineage()}
     assert {"parsed", "linked", "completed", "canonical", "graph"} <= stages
+
+
+def test_multimodal_resize_and_features(spark):
+    """Resize and feature-extract plumbing: fixed-size binary out, unit-sum
+    float histogram feeding the ANN operators' expected schema."""
+    from pyspark.sql import functions as F
+    from xmltoldmigration_spark.operators.multimodal import (
+        extract_features,
+        resize_images,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    r = resize_images(media, target_w=8, target_h=4).collect()
+    assert len(r) == 50 and all(len(x.resized) == 32 for x in r)
+    f = extract_features(media).collect()
+    assert len(f) == 50
+    assert all(len(x.features) == 16 for x in f)
+    assert all(abs(sum(x.features) - 1.0) < 1e-3 for x in f)

@@ -20,6 +20,12 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+# executor python workers don't inherit the driver's sys.path mutations;
+# each mapInPandas closure captures this STRING and bootstraps sys.path
+# itself (same pattern as kg/parse.py) — capturing a helper FUNCTION
+# would be pickled by module reference and defeat the purpose
+_REPO_PATH = __file__.rsplit("/xmltoldmigration_spark/", 1)[0]
+
 
 def decode_image(payload: bytes) -> "object":
     """STUB — real impl: PIL.Image.open(io.BytesIO(payload)) -> ndarray."""
@@ -50,7 +56,15 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """media: DataFrame[doc_id, payload binary, mime_type] ->
     DataFrame[doc_id, frame_idx, frame_sig] (one row per sampled frame)."""
 
+    repo = _REPO_PATH
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from xmltoldmigration_spark.operators.multimodal import fake_decode
+
         for pdf in batches:
             out_ids, out_idx, out_sig = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -63,3 +77,82 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
             )
 
     return media.mapInPandas(op, schema="doc_id long, frame_idx int, frame_sig string")
+
+
+def resize_image(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """STUB-backed resize: the real implementation is
+    PIL.Image.open(...).resize((target_w, target_h)).tobytes(); the
+    deterministic stand-in treats the payload as a row-major byte grid
+    and strides it to the target shape, preserving the real operator's
+    contract (binary in -> binary of exactly target_w*target_h bytes)."""
+    if not payload:
+        return b"\x00" * (target_w * target_h)
+    n = len(payload)
+    side = max(int(n ** 0.5), 1)
+    out = bytearray()
+    for y in range(target_h):
+        sy = min(y * side // target_h, side - 1)
+        for x in range(target_w):
+            sx = min(x * side // target_w, side - 1)
+            out.append(payload[(sy * side + sx) % n])
+    return bytes(out)
+
+
+def resize_images(media: DataFrame, target_w: int = 16, target_h: int = 16) -> DataFrame:
+    """media: DataFrame[doc_id, payload binary] ->
+    DataFrame[doc_id, resized binary, width int, height int].
+
+    Arrow moves the binary column once per batch; output payload size is
+    fixed (target_w*target_h), so downstream partition sizing is exact."""
+
+    repo = _REPO_PATH
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
+        if repo not in sys.path:
+            sys.path.insert(0, repo)
+        from xmltoldmigration_spark.operators.multimodal import resize_image
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "resized": [
+                        resize_image(bytes(p), target_w, target_h)
+                        for p in pdf["payload"]
+                    ],
+                    "width": target_w,
+                    "height": target_h,
+                }
+            )
+
+    return media.mapInPandas(
+        op, schema="doc_id long, resized binary, width int, height int"
+    )
+
+
+def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
+    """media: DataFrame[doc_id, payload binary] ->
+    DataFrame[doc_id, features array<float>] — the byte-histogram is the
+    deterministic stand-in for a real image/audio embedding model; the
+    plumbing (one Arrow pass, fixed-width float vector output that feeds
+    straight into the ANN operators) is the real thing.  Per document one
+    vectorized np.bincount over its byte array — no per-byte Python."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                b = np.frombuffer(bytes(p), dtype=np.uint8)
+                if b.size == 0:
+                    feats.append([0.0] * n_bins)
+                    continue
+                hist = np.bincount(b >> (8 - n_bins.bit_length() + 1), minlength=n_bins)[
+                    :n_bins
+                ]
+                feats.append((hist / b.size).astype("float32").tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return media.mapInPandas(op, schema="doc_id long, features array<float>")

@@ -75,14 +75,19 @@ class Pipeline:
         # pages (on a cluster the same metadata comes from the FileSystem
         # API / Iceberg manifest; here pyarrow reads each footer locally)
         import pyarrow.parquet as pq
+        from concurrent.futures import ThreadPoolExecutor
 
         part_files = sorted(
             p for p in Path(path).rglob("*.parquet") if not p.name.startswith(".")
-        )
-        per_file = [
-            {"file": p.name, "rows": pq.ParquetFile(p).metadata.num_rows}
-            for p in part_files[:512]
-        ]
+        )[:512]
+
+        def _footer(p):
+            return {"file": p.name, "rows": pq.ParquetFile(p).metadata.num_rows}
+
+        # footer reads are I/O-bound; a small pool keeps this out of the
+        # per-stage serial component
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            per_file = list(ex.map(_footer, part_files))
         lineage = {
             "stage": name,
             "rows": stats["rows"],

@@ -64,3 +64,29 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("video/fake").alias("mime_type"),
     )
     return sample_frames(media, every_n_bytes=64)
+
+
+@register(
+    "multimodal_resize",
+    oracle=None,  # stub-backed resize -> rows-only check
+    survey_ref="training-data multimodal: resize plumbing (fixed-size binary out)",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xmltoldmigration_spark.operators.multimodal import resize_images
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return resize_images(media, target_w=16, target_h=16)
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle=None,  # embedding-model stand-in -> rows-only check
+    survey_ref="training-data multimodal: feature-extract -> array<float> for ANN",
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xmltoldmigration_spark.operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return extract_features(media)
