@@ -287,3 +287,23 @@ def test_multimodal_resize_and_features(spark):
     assert len(f) == 50
     assert all(len(x.features) == 16 for x in f)
     assert all(abs(sum(x.features) - 1.0) < 1e-3 for x in f)
+
+
+def test_errors_table_resume_idempotent(spark, tmp_path):
+    """Join-derived error rows (missing back-link targets, unresolvable
+    page images) must appear in the errors side table even when the
+    triple chain is RESUMED from its markers rather than rebuilt."""
+    import shutil as _shutil
+
+    src = corpus.load_synthetic_src(spark, 60, num_partitions=2)
+    out = tmp_path / "erridem"
+    Pipeline(spark, str(out)).run(src, resume=False)
+    fresh = spark.read.parquet(str(out / "errors"))
+    fresh_counts = {r["etype"]: r["count"] for r in fresh.groupBy("etype").count().collect()}
+    assert "ET_GEN:page" in fresh_counts  # UCB etext with a missing image
+    # wipe ONLY the errors stage; resume must regenerate it identically
+    _shutil.rmtree(out / "errors")
+    Pipeline(spark, str(out)).run(src, resume=True)
+    again = spark.read.parquet(str(out / "errors"))
+    again_counts = {r["etype"]: r["count"] for r in again.groupBy("etype").count().collect()}
+    assert again_counts == fresh_counts

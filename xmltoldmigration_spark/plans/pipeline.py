@@ -122,9 +122,6 @@ class Pipeline:
         the whole table); at cluster scale the same fusion argument holds
         per-executor.  Resume granularity: parsed + graph ('minimal') or
         every stage ('all')."""
-        # error rows discovered by join stages (dropped back-links etc.)
-        # accumulate here and union into the errors side table at the end
-        self._extra_errors: list[DataFrame] = []
         # stage 1: PARSE (record-local, no shuffle)
         if resume and self._done("parsed"):
             parsed = self._read_stage("parsed")
@@ -214,12 +211,15 @@ class Pipeline:
                         json.dump({"stage": name, "rows": obs.get["rows"],
                                    "fused": True}, f)
 
-        # side tables (errors / dangling links) — small, written last
+        # side tables (errors / dangling links) — small, written last.
+        # join-derived error rows come from _error_sides, which depends
+        # only on the parse output — so a resumed run writes the SAME
+        # errors table as a fresh one
         if not (resume and self._done("errors")):
-            errors = streams["errors"]
-            for extra in self._extra_errors:
-                errors = errors.unionByName(extra)
-            self._write_stage("errors", errors)
+            self._write_stage(
+                "errors",
+                streams["errors"].unionByName(self._error_sides(streams, graphs)),
+            )
         if not (resume and self._done("dangling")):
             self._write_stage("dangling", self._dangling(streams))
         if not (resume and self._done("conflicts")):
@@ -251,12 +251,14 @@ class Pipeline:
             .drop("_old_iri", "_new_iri")
         )
 
-    def _propagate_work_admin(self, triples: DataFrame, streams: dict,
-                              graphs: DataFrame) -> DataFrame:
-        """J13: the work record's archiveInfo (access/ric) overrides the
-        defaults the etext migrator wrote on its IE instance admin
-        (EtextMigration.java:494-499 reads WorkMigration.workAccessMap;
-        here it is a broadcast join on the IE graph name)."""
+    def _admin_frames(self, streams: dict):
+        """(access, ric_all) derived from workAdmin content rows.
+
+        ric ("restricted in China") is set unconditionally by the
+        reference (WorkMigration.java:556-567) so it comes from the
+        UNFILTERED admin rows — a "||1" payload (no access, ric set)
+        still restricts the etext IE; the access-override join only
+        cares about rows carrying an access value."""
         adm = "http://purl.bdrc.io/ontology/admin/"
         admin = (
             streams["contents"]
@@ -272,14 +274,27 @@ class Pipeline:
             )
             .dropDuplicates(["_ie"])
         )
-        # the access-override join only cares about rows that actually
-        # carry an access value; ric ("restricted in China") is set
-        # unconditionally by the reference (WorkMigration.java:556-567) so
-        # it must come from the UNFILTERED admin rows — a "||1" payload
-        # (no access, ric set) still restricts the etext IE.
-        # no broadcast hint: workAdmin rows are data-derived (one per
-        # migrated work) — AQE broadcasts when actually small.
         access = admin.filter(F.col("_access") != "").drop("_ric")
+        ric_all = admin.filter(F.col("_ric") == "1").select(
+            F.col("_ie").alias("graph"),
+            F.concat(F.lit("http://purl.bdrc.io/admindata/"), "_ie").alias("subject"),
+            F.lit(adm + "restrictedInChina").alias("predicate"),
+            F.lit("lit").alias("o_kind"),
+            F.lit("true").alias("o_value"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit("http://www.w3.org/2001/XMLSchema#boolean").alias("o_datatype"),
+        )
+        return access, ric_all
+
+    def _propagate_work_admin(self, triples: DataFrame, streams: dict,
+                              graphs: DataFrame) -> DataFrame:
+        """J13: the work record's archiveInfo (access/ric) overrides the
+        defaults the etext migrator wrote on its IE instance admin
+        (EtextMigration.java:494-499 reads WorkMigration.workAccessMap).
+        No broadcast hint anywhere: workAdmin rows are data-derived (one
+        per migrated work) — AQE broadcasts when actually small."""
+        adm = "http://purl.bdrc.io/ontology/admin/"
+        access, ric_all = self._admin_frames(streams)
         out = (
             triples.join(
                 access,
@@ -295,36 +310,13 @@ class Pipeline:
             )
             .drop("_ie", "_access")
         )
-        ric_all = admin.filter(F.col("_ric") == "1").select(
-            F.col("_ie").alias("graph"),
-            F.concat(F.lit("http://purl.bdrc.io/admindata/"), "_ie").alias("subject"),
-            F.lit(adm + "restrictedInChina").alias("predicate"),
-            F.lit("lit").alias("o_kind"),
-            F.lit("true").alias("o_value"),
-            F.lit(None).cast("string").alias("o_lang"),
-            F.lit("http://www.w3.org/2001/XMLSchema#boolean").alias("o_datatype"),
-        )
-        # only into IE graphs that actually exist; rows whose target graph
-        # is missing are reported, not silently dropped (the reference logs
-        # an ET_GEN error when it cannot read the model,
-        # EtextMigration.java:333-335)
+        # only into IE graphs that actually exist; the dropped rows are
+        # reported by _error_sides (run unconditionally, resume-safe)
         ric_rows = ric_all.join(graphs, "graph", "leftsemi")
-        self._extra_errors.append(
-            ric_all.join(graphs, "graph", "left_anti").select(
-                F.col("graph").alias("rid"),
-                F.col("graph").alias("sub_rid"),
-                F.lit("ET_GEN:workAdmin").alias("etype"),
-                F.lit("missing IE graph for workAdmin ric propagation").alias("message"),
-            )
-        )
         return out.unionByName(ric_rows)
 
-    def _etext_backlinks(self, triples: DataFrame, streams: dict,
-                         graphs: DataFrame) -> DataFrame:
-        """J14: the reference re-opens the work/image-instance files to
-        add instanceHasReproduction links to the new etext instance
-        (EtextMigration.addReproToInstance:344-371); here the etext's
-        link rows become forward triples into the existing MW/W graphs."""
+    def _repro_rows(self, streams: dict, graph_prefix: str) -> DataFrame:
+        """Candidate J14 back-link triples for one instance-graph prefix."""
         bdo = "http://purl.bdrc.io/ontology/core/"
         bdr = "http://purl.bdrc.io/resource/"
         repro = (
@@ -333,55 +325,39 @@ class Pipeline:
             .select(F.col("dst_rid").alias("work_rid"))
             .dropDuplicates(["work_rid"])
         )
+        return repro.select(
+            F.concat(F.lit(graph_prefix), F.col("work_rid")).alias("graph"),
+            F.concat(F.lit(bdr + graph_prefix), F.col("work_rid")).alias("subject"),
+            F.lit(bdo + "instanceHasReproduction").alias("predicate"),
+            F.lit("iri").alias("o_kind"),
+            F.concat(
+                F.lit(bdr + "IE"), F.expr("substring(work_rid, 2)")
+            ).alias("o_value"),
+            F.lit(None).cast("string").alias("o_lang"),
+            F.lit(None).cast("string").alias("o_datatype"),
+        )
 
-        def rows_for(graph_prefix: str):
-            return repro.select(
-                F.concat(F.lit(graph_prefix), F.col("work_rid")).alias("graph"),
-                F.concat(F.lit(bdr + graph_prefix), F.col("work_rid")).alias("subject"),
-                F.lit(bdo + "instanceHasReproduction").alias("predicate"),
-                F.lit("iri").alias("o_kind"),
-                F.concat(
-                    F.lit(bdr + "IE"), F.expr("substring(work_rid, 2)")
-                ).alias("o_value"),
-                F.lit(None).cast("string").alias("o_lang"),
-                F.lit(None).cast("string").alias("o_datatype"),
-            )
+    def _etext_backlinks(self, triples: DataFrame, streams: dict,
+                         graphs: DataFrame) -> DataFrame:
+        """J14: the reference re-opens the work/image-instance files to
+        add instanceHasReproduction links to the new etext instance
+        (EtextMigration.addReproToInstance:344-371); here the etext's
+        link rows become forward triples into the existing MW/W graphs.
+        Rows targeting a missing graph are reported by _error_sides."""
 
         def into(graph_prefix: str):
-            rows = rows_for(graph_prefix)
-            # back-links whose target MW/W graph was never migrated are
-            # reported (reference logs ET_GEN when the model can't be read,
-            # EtextMigration.java:333-335,351-353), not silently dropped
-            self._extra_errors.append(
-                rows.join(graphs, "graph", "left_anti").select(
-                    F.col("graph").alias("rid"),
-                    F.col("graph").alias("sub_rid"),
-                    F.lit("ET_GEN:repro").alias("etype"),
-                    F.concat(
-                        F.lit("missing instance graph for back-link to "),
-                        F.col("o_value"),
-                    ).alias("message"),
-                )
+            return self._repro_rows(streams, graph_prefix).join(
+                graphs, "graph", "leftsemi"
             )
-            return rows.join(graphs, "graph", "leftsemi")
 
         # instance graph (bdr:M<rid>) and image-instance graph (bdr:<rid>)
         return triples.unionByName(into("M")).unionByName(into(""))
 
-    def _resolve_etext_pages(self, triples: DataFrame, streams: dict) -> DataFrame:
-        """App-mode etext page-name translation (EtextBodyMigration.java:
-        108-120 + MigrationHelpers.getImgmapForImggrp:857-891): UCB-OCR
-        etext pages carry image FILE NAMES; their seqNum is the image's
-        1-based position in the source imagegroup's ondisk list.
-
-        The reference re-opens the imagegroup XML per etext; here both
-        sides ride the parse output's contents stream and meet in ONE
-        distributed join — no record-local foreign-file reads.  Pages
-        whose image is absent from the list become ET_GEN error rows
-        (java:116-117), like every other dropped-row path."""
+    def _page_join(self, streams: dict) -> DataFrame:
+        """Page-image refs left-joined to the exploded imagegroup ondisk
+        lists: (graph, subject, ig, img, orig, seq-or-null)."""
         from pyspark.sql.window import Window
 
-        bdo = "http://purl.bdrc.io/ontology/core/"
         contents = streams["contents"]
         # imagegroup ondisk lists -> (ig, lowercase basename, 1-based seq);
         # entries without an extension are skipped WITHOUT consuming a
@@ -413,8 +389,21 @@ class Pipeline:
                 F.col("p")[3].alias("orig"),
             )
         )
-        joined = refs.join(imgmap, ["ig", "img"], "left")
-        resolved = joined.filter(F.col("seq").isNotNull()).select(
+        return refs.join(imgmap, ["ig", "img"], "left")
+
+    def _resolve_etext_pages(self, triples: DataFrame, streams: dict) -> DataFrame:
+        """App-mode etext page-name translation (EtextBodyMigration.java:
+        108-120 + MigrationHelpers.getImgmapForImggrp:857-891): UCB-OCR
+        etext pages carry image FILE NAMES; their seqNum is the image's
+        1-based position in the source imagegroup's ondisk list.
+
+        The reference re-opens the imagegroup XML per etext; here both
+        sides ride the parse output's contents stream and meet in ONE
+        distributed join — no record-local foreign-file reads.  Pages
+        whose image is absent from the list become ET_GEN error rows via
+        _error_sides (java:116-117)."""
+        bdo = "http://purl.bdrc.io/ontology/core/"
+        resolved = self._page_join(streams).filter(F.col("seq").isNotNull()).select(
             "graph",
             "subject",
             F.lit(bdo + "seqNum").alias("predicate"),
@@ -423,15 +412,50 @@ class Pipeline:
             F.lit(None).cast("string").alias("o_lang"),
             F.lit("http://www.w3.org/2001/XMLSchema#integer").alias("o_datatype"),
         )
-        self._extra_errors.append(
-            joined.filter(F.col("seq").isNull()).select(
+        return triples.unionByName(resolved)
+
+    def _error_sides(self, streams: dict, graphs: DataFrame) -> DataFrame:
+        """Join-derived error rows (errors stream schema), computed from
+        the parse output alone so they are identical whether the triple
+        chain ran or was resumed from its markers:
+
+        - workAdmin ric rows targeting a missing IE graph,
+        - J14 back-links targeting a missing MW/W graph
+          (EtextMigration.java:333-335,351-353 logs ET_GEN),
+        - etext page images absent from their imagegroup's ondisk list
+          (EtextBodyMigration.java:116-117)."""
+        _, ric_all = self._admin_frames(streams)
+        ric_err = ric_all.join(graphs, "graph", "left_anti").select(
+            F.col("graph").alias("rid"),
+            F.col("graph").alias("sub_rid"),
+            F.lit("ET_GEN:workAdmin").alias("etype"),
+            F.lit("missing IE graph for workAdmin ric propagation").alias("message"),
+        )
+        out = ric_err
+        for prefix in ("M", ""):
+            out = out.unionByName(
+                self._repro_rows(streams, prefix)
+                .join(graphs, "graph", "left_anti")
+                .select(
+                    F.col("graph").alias("rid"),
+                    F.col("graph").alias("sub_rid"),
+                    F.lit("ET_GEN:repro").alias("etype"),
+                    F.concat(
+                        F.lit("missing instance graph for back-link to "),
+                        F.col("o_value"),
+                    ).alias("message"),
+                )
+            )
+        return out.unionByName(
+            self._page_join(streams)
+            .filter(F.col("seq").isNull())
+            .select(
                 F.col("graph").alias("rid"),
                 F.col("graph").alias("sub_rid"),
                 F.lit("ET_GEN:page").alias("etype"),
                 F.concat(F.lit("cannot find image "), F.col("orig")).alias("message"),
             )
         )
-        return triples.unionByName(resolved)
 
     def _complete_symmetric(self, triples: DataFrame, symmetric: DataFrame,
                             graphs: DataFrame) -> DataFrame:
