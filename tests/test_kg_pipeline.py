@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import shutil
+from pathlib import Path
 
 import pytest
 from pyspark.sql import functions as F
@@ -307,3 +308,30 @@ def test_errors_table_resume_idempotent(spark, tmp_path):
     again = spark.read.parquet(str(out / "errors"))
     again_counts = {r["etype"]: r["count"] for r in again.groupBy("etype").count().collect()}
     assert again_counts == fresh_counts
+
+
+def test_run_pipeline_cli_smoke(tmp_path):
+    """jobs/run_pipeline.py end-to-end via subprocess: synthetic corpus +
+    FEMC seed + rKTs dir, resumable output, one JSON result line."""
+    import json as _json
+    import subprocess
+    import sys
+
+    from xmltoldmigration_spark.kg.transfers import rkts
+
+    rkts_dir = tmp_path / "rkts"
+    rkts.write_synthetic_ttl_dir(str(rkts_dir), n_works=3)
+    out = tmp_path / "cli_out"
+    repo = str(Path(__file__).resolve().parent.parent)
+    cmd = [
+        sys.executable, f"{repo}/jobs/run_pipeline.py",
+        "--synthetic", "30", "--out", str(out),
+        "--femc-seed", "--rkts-dir", str(rkts_dir),
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    payload = _json.loads(r.stdout.strip().splitlines()[-1])
+    assert payload["triples"] > 0
+    assert any(row["stage"] == "graph" for row in payload["lineage"])
+    graphs = {d.name for d in (out / "graph").iterdir() if d.is_dir()}
+    assert any(g.startswith("type_part=") for g in graphs)
