@@ -103,3 +103,47 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(want) > 20
+
+
+def test_windowed_counts_matches_batch(spark, tmp_path):
+    """Watermarked tumbling-window aggregation over a finite stream equals
+    the oracle-checked batch twin (complete-mode drain, availableNow)."""
+    import uuid
+
+    from xmltoldmigration_spark.streaming.windowed import windowed_counts
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").filter(
+        F.col("user_id") < 30
+    )
+    src_dir = str(tmp_path / "ev_win")
+    ev.coalesce(2).write.parquet(src_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    name = "win_" + uuid.uuid4().hex[:8]
+    q = (
+        windowed_counts(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 4))
+        for r in spark.table(name).collect()
+    }
+    batch = (
+        ev.groupBy(
+            (F.floor(F.unix_timestamp("ts") / 300) * 300).cast("bigint").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+    want = {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 4))
+        for r in batch.collect()
+    }
+    assert got == want and len(want) > 50
