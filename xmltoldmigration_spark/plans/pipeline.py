@@ -510,6 +510,9 @@ class Pipeline:
         ).coalesce(4)
         comp = connected_components(edges)
         bdr = "http://purl.bdrc.io/resource/"
+        # the broadcast hint here is safe (unlike the data-derived sides
+        # elsewhere): rep is bounded by the shipped authority cluster
+        # CSVs (~38k pairs), not by corpus size
         rep = comp.filter(F.col("node") != F.col("comp")).select(
             F.concat(F.lit(bdr), "node").alias("_n"),
             F.concat(F.lit(bdr), "comp").alias("_c"),
