@@ -335,3 +335,25 @@ def test_run_pipeline_cli_smoke(tmp_path):
     assert any(row["stage"] == "graph" for row in payload["lineage"])
     graphs = {d.name for d in (out / "graph").iterdir() if d.is_dir()}
     assert any(g.startswith("type_part=") for g in graphs)
+
+
+def test_ivf_topk_recall_and_determinism(spark):
+    """IVF probing (the second ANN scale path): deterministic across runs
+    (seeded quantizer + sorted-order Lloyd means + id tie-breaks) and
+    recall >= 0.6 vs brute force at n_probe=8/16 on embeddings with no
+    planted cluster structure (the hard case for IVF)."""
+    from xmltoldmigration_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 10)
+    bf = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, qs, k=5).collect()}
+    a = {(r.query_id, r.neighbor_id, r.rk)
+         for r in ivf_topk(emb, qs, k=5, n_centroids=16, n_probe=8).collect()}
+    b = {(r.query_id, r.neighbor_id, r.rk)
+         for r in ivf_topk(emb, qs, k=5, n_centroids=16, n_probe=8).collect()}
+    assert a == b
+    pairs = {(q, n) for q, n, _ in a}
+    assert len(pairs & bf) / len(bf) >= 0.6

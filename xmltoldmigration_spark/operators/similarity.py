@@ -187,3 +187,127 @@ def exact_cosine_pairs(
                 )
 
     return grid.mapInPandas(compute, "id_a bigint, id_b bigint, cos_sim double")
+
+
+def ivf_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Build a deterministic IVF (inverted-file) index: (centroids, cells).
+
+    Coarse quantizer = n_centroids seed vectors chosen by a content-free
+    deterministic order (xxhash64 of the id), refined by ONE Lloyd
+    iteration whose per-cell means sum members in sorted-id order inside
+    `applyInPandas` — bit-stable across partitionings and retries.
+
+    Returns (centroids: list[(cell_id, np.ndarray)] driver-side — the
+    quantizer is tiny by construction — and cells: DataFrame[id, vec,
+    cell] with every corpus vector assigned to its nearest centroid).
+    At 100 TB the corpus never leaves the cluster: assignment is one
+    mapInPandas pass against the broadcast quantizer, and each query
+    probes only n_probe cells (the classic IVF trade of recall for a
+    1/n_centroids scan fraction).
+    """
+    import pandas as pd
+
+    c = corpus.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<float>").alias("vec")
+    )
+    seeds = [
+        np.asarray(r["vec"], dtype=np.float64)
+        for r in c.orderBy(F.xxhash64(F.col("id")), "id").limit(n_centroids).collect()
+    ]
+
+    def normalize(m):
+        return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+    cmat = normalize(np.stack(seeds))
+
+    def assign_df(df, cmat):
+        cm = cmat
+
+        def op(batches):
+            import numpy as _np
+            import pandas as _pd
+
+            for pdf in batches:
+                A = normalize(_np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["vec"]]))
+                cell = (A @ cm.T).argmax(axis=1)
+                yield _pd.DataFrame(
+                    {"id": pdf["id"], "vec": pdf["vec"], "cell": cell.astype("int32")}
+                )
+
+        return df.mapInPandas(op, schema="id long, vec array<float>, cell int")
+
+    assigned = assign_df(c, cmat)
+
+    # one Lloyd iteration: deterministic per-cell mean (members summed in
+    # sorted-id order), then re-assign
+    def cell_mean(key, pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        pdf = pdf.sort_values("id")
+        m = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["vec"]]).mean(axis=0)
+        return _pd.DataFrame({"cell": [key[0]], "centroid": [m.tolist()]})
+
+    means = {
+        r["cell"]: np.asarray(r["centroid"], dtype=np.float64)
+        for r in assigned.groupBy("cell")
+        .applyInPandas(cell_mean, "cell int, centroid array<double>")
+        .collect()
+    }
+    cmat2 = normalize(
+        np.stack([means.get(i, cmat[i]) for i in range(n_centroids)])
+    )
+    cells = assign_df(c, cmat2)
+    centroids = [(i, cmat2[i]) for i in range(n_centroids)]
+    return centroids, cells
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via IVF probing (the second scale path
+    next to the LSH buckets): each query scores only the vectors in its
+    n_probe nearest cells — a fraction n_probe/n_centroids of the corpus.
+    Deterministic ties: (sim desc, neighbor_id)."""
+    centroids, cells = ivf_index(corpus, n_centroids, id_col, vec_col)
+    cmat = np.stack([m for _, m in centroids])
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).collect()
+    probe_rows = []
+    for r in q_rows:
+        v = np.asarray(r["qv"], dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        for cell in np.argsort(-(cmat @ v))[:n_probe]:
+            probe_rows.append((r["query_id"], r["qv"], int(cell)))
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    probes = spark.createDataFrame(
+        pd.DataFrame(probe_rows, columns=["query_id", "qv", "cell"])
+    )
+
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn("cv", F.col("vec").cast("array<double>"))
+        .withColumn("sim", _cosine("qv", "cv"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "rk")
+    )

@@ -45,3 +45,16 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return lsh_bucket_topk(emb, queries, k=K, n_planes=6)
+
+
+@register(
+    "ann_ivf_probe",
+    oracle=None,  # approximate: no SQL oracle; recall vs brute force is unit-tested
+    survey_ref="training-data similarity: IVF coarse-quantizer ANN (second scale path)",
+)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xmltoldmigration_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return ivf_topk(emb, queries, k=K, n_centroids=16, n_probe=8)
