@@ -288,6 +288,16 @@ def test_multimodal_resize_and_features(spark):
     assert len(f) == 50
     assert all(len(x.features) == 16 for x in f)
     assert all(abs(sum(x.features) - 1.0) < 1e-3 for x in f)
+    # counts mode: exact integers, sums to the byte length
+    c = extract_features(media, normalize=False).collect()
+    lens = {x.doc_id: x for x in media.select(
+        "doc_id", F.octet_length("payload").alias("n")).collect()}
+    assert all(sum(x.features) == lens[x.doc_id].n for x in c)
+    # non-power-of-two bins: every byte must land in SOME bin (the old
+    # bit-shift binning left the top bins of n_bins=10 permanently empty)
+    c10 = extract_features(media, n_bins=10, normalize=False).collect()
+    assert all(len(x.features) == 10 for x in c10)
+    assert all(sum(x.features) == lens[x.doc_id].n for x in c10)
 
 
 def test_errors_table_resume_idempotent(spark, tmp_path):

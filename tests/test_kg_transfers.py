@@ -167,6 +167,38 @@ def test_rkts_transfer_routing(tmp_path):
     assert rkts.EDITION_RIDS[0] not in split_graphs
 
 
+def test_rkts_parsed_split_outlines(tmp_path):
+    """rkts_parsed(split_outlines=True) must union the typed edition-seed
+    rows (o_lang/o_datatype all-None — name-only schema inference would
+    raise CANNOT_DETERMINE_TYPE) and seed one O* outline graph per known
+    edition (rKTsTransfer.java:80-88)."""
+    import pytest as _pytest
+
+    _pytest.importorskip("pyspark")
+    from xmltoldmigration_spark.kg.transfers import rkts
+    from xmltoldmigration_spark.session import get_spark
+
+    spark = get_spark("rkts-split-test", master="local[4]", shuffle_partitions=8)
+    d = tmp_path / "rkts"
+    rkts.write_synthetic_ttl_dir(str(d), n_works=2)
+    parsed = rkts.rkts_parsed(spark, str(d), split_outlines=True)
+    rows = parsed.collect()
+    graphs = {r.graph for r in rows if r.stream == "triple"}
+    # every known edition gets a seeded outline graph, none keep MW graphs
+    for rid in rkts.EDITION_RIDS:
+        assert "O" + rid[2:] in graphs
+    assert not any(g.startswith("MW") for g in graphs)
+    # seed content: outlineOf triple present for the first edition
+    orid = "O" + rkts.EDITION_RIDS[0][2:]
+    bdo = "http://purl.bdrc.io/ontology/core/"
+    bdr = "http://purl.bdrc.io/resource/"
+    assert any(
+        r.graph == orid and r.predicate == bdo + "outlineOf"
+        and r.o_value == bdr + rkts.EDITION_RIDS[0]
+        for r in rows if r.stream == "triple"
+    )
+
+
 def test_rkts_pipeline_merge(tmp_path):
     """rKTs rows union into the pipeline as a second source: triples land
     in the final graph table and error rows land in the errors side table."""

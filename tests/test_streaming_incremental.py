@@ -24,20 +24,20 @@ def test_stream_parse_exactly_once(spark, tmp_path):
 
     load_synthetic_src(spark, 50, num_partitions=2).write.parquet(src_dir)
     q = stream_parse(spark, src_dir, out_dir, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query timed out"
     n1 = spark.read.parquet(out_dir).filter(F.col("stream") == "triple").count()
     assert n1 > 0
 
     # drop more files; restart drains ONLY the delta
     load_synthetic_src(spark, 30, seed=7, num_partitions=1).write.mode("append").parquet(src_dir)
     q = stream_parse(spark, src_dir, out_dir, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query timed out"
     n2 = spark.read.parquet(out_dir).filter(F.col("stream") == "triple").count()
     assert n2 > n1
 
     # a third restart with no new input must add nothing (exactly-once)
     q = stream_parse(spark, src_dir, out_dir, ckpt)
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query timed out"
     n3 = spark.read.parquet(out_dir).filter(F.col("stream") == "triple").count()
     assert n3 == n2
 
@@ -75,7 +75,7 @@ def test_stateful_sessionization_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query timed out"
     # update semantics: within one (user, session) the n_events of
     # successive updates only grows and first_event only shrinks, so the
     # final row is (max n_events, min first_event)
@@ -127,7 +127,7 @@ def test_windowed_counts_matches_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query timed out"
     got = {
         (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 4))
         for r in spark.table(name).collect()

@@ -92,8 +92,11 @@ def migrate(root: ET.Element, ctx: Ctx) -> list[Emitter]:
     `n` attributes are image file names, not numbers)."""
     npt = False
     if ctx.app_mode:
+        # Key on the distributor directory anywhere in the path, not a
+        # fixed second segment: absolute paths / deeper nesting (e.g.
+        # /data/tbrc-etexts/UCB-OCR/W1/x.xml) must still enable it.
         parts = (ctx.src_path or "").split("/")
-        npt = len(parts) >= 3 and parts[1] == "UCB-OCR"
+        npt = "UCB-OCR" in parts[:-1]
     etext_em, item_em, content = migrate_one_etext(
         root, ctx,
         is_paginated=True,

@@ -142,8 +142,11 @@ def rkts_parsed(spark: SparkSession, ttl_dir: str,
             for em in seeds
             for (g, s, p, k, v, lang, dt) in em.rows()
         ]
-        cols = list(PARSED_SCHEMA.replace(" string", "").split(", "))
-        parsed = parsed.unionByName(spark.createDataFrame(seed_rows, cols))
+        # Typed schema, not bare names: seed rows carry None in o_lang /
+        # o_datatype on every row, so name-only inference cannot determine
+        # their types (PySparkValueError CANNOT_DETERMINE_TYPE).
+        parsed = parsed.unionByName(
+            spark.createDataFrame(seed_rows, schema=PARSED_SCHEMA))
     return parsed
 
 

@@ -132,13 +132,17 @@ def resize_images(media: DataFrame, target_w: int = 16, target_h: int = 16) -> D
     )
 
 
-def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
+def extract_features(media: DataFrame, n_bins: int = 16,
+                     normalize: bool = True) -> DataFrame:
     """media: DataFrame[doc_id, payload binary] ->
     DataFrame[doc_id, features array<float>] — the byte-histogram is the
     deterministic stand-in for a real image/audio embedding model; the
     plumbing (one Arrow pass, fixed-width float vector output that feeds
     straight into the ANN operators) is the real thing.  Per document one
-    vectorized np.bincount over its byte array — no per-byte Python."""
+    vectorized np.bincount over its byte array — no per-byte Python.
+
+    normalize=False returns exact integer counts (array<bigint>) — the
+    driver-hashable / SQL-checkable twin of the float vector."""
     import numpy as np
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -147,12 +151,18 @@ def extract_features(media: DataFrame, n_bins: int = 16) -> DataFrame:
             for p in pdf["payload"]:
                 b = np.frombuffer(bytes(p), dtype=np.uint8)
                 if b.size == 0:
-                    feats.append([0.0] * n_bins)
+                    feats.append([0.0] * n_bins if normalize else [0] * n_bins)
                     continue
-                hist = np.bincount(b >> (8 - n_bins.bit_length() + 1), minlength=n_bins)[
-                    :n_bins
-                ]
-                feats.append((hist / b.size).astype("float32").tolist())
+                # b * n_bins // 256 is exact for any n_bins (the old
+                # bit-shift left the top bins permanently empty whenever
+                # n_bins was not a power of two).
+                bins = np.minimum(b.astype(np.int32) * n_bins // 256, n_bins - 1)
+                hist = np.bincount(bins, minlength=n_bins)[:n_bins]
+                if normalize:
+                    feats.append((hist / b.size).astype("float32").tolist())
+                else:
+                    feats.append(hist.astype("int64").tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
-    return media.mapInPandas(op, schema="doc_id long, features array<float>")
+    elem = "float" if normalize else "bigint"
+    return media.mapInPandas(op, schema=f"doc_id long, features array<{elem}>")

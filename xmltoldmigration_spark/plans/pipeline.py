@@ -272,7 +272,12 @@ class Pipeline:
                 F.col("_p")[0].alias("_access"),
                 F.col("_p")[2].alias("_ric"),
             )
-            .dropDuplicates(["_ie"])
+            # Deterministic per-_ie pick: max() keeps an access-bearing row
+            # over an empty-access one (and "1" over "") if a record ever
+            # yields multiple workAdmin rows — dropDuplicates(["_ie"]) kept
+            # an arbitrary row, making access/ric flap between runs.
+            .groupBy("_ie")
+            .agg(F.max("_access").alias("_access"), F.max("_ric").alias("_ric"))
         )
         access = admin.filter(F.col("_access") != "").drop("_ric")
         ric_all = admin.filter(F.col("_ric") == "1").select(

@@ -81,12 +81,39 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_feature_extract",
-    oracle=None,  # embedding-model stand-in -> rows-only check
+    # The byte-histogram stand-in IS SQL: per-doc per-bin byte counts over
+    # the utf-8 payload (bin = byte*16//256 = the high hex nibble).  The
+    # exploded exact-integer shape is driver-hashable (an array<float>
+    # column broke the driver's pandas canonicalizer in round 2) and
+    # admits a value-level DuckDB oracle.
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    bins AS (SELECT CAST(unnest(range(16)) AS INT) AS bin_idx),
+    e AS (
+      SELECT doc_id,
+             strpos('0123456789ABCDEF', substring(h, CAST(i AS INT)*2+1, 1)) - 1 AS bin_idx
+      FROM (SELECT doc_id, h, unnest(range(n)) AS i FROM b)
+    ),
+    c AS (SELECT e.doc_id AS doc_id, e.bin_idx AS bin_idx, count(*) AS cnt
+          FROM e GROUP BY e.doc_id, e.bin_idx)
+    SELECT b.doc_id AS doc_id, bins.bin_idx AS bin_idx,
+           CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+    FROM b CROSS JOIN bins
+    LEFT JOIN c ON c.doc_id = b.doc_id AND c.bin_idx = bins.bin_idx
+    """,
     survey_ref="training-data multimodal: feature-extract -> array<float> for ANN",
 )
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded exact-count histogram; the normalized array<float> twin of
+    the same operator (normalize=True) feeds the ANN queries directly."""
     from xmltoldmigration_spark.operators.multimodal import extract_features
 
     docs = load_table(spark, sf_dir, "documents")
     media = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    return extract_features(media)
+    counts = extract_features(media, n_bins=16, normalize=False)
+    return counts.select(
+        "doc_id", F.posexplode("features").alias("bin_idx", "cnt")
+    )

@@ -107,7 +107,14 @@ def stream_stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFram
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        # A timed-out availableNow run would silently return partial
+        # session aggregates; fail loudly instead.
+        q.stop()
+        raise TimeoutError(
+            "stream_stateful_sessionization: streaming query did not "
+            "finish within 300s; refusing to return partial aggregates")
     out = (
         spark.table(name)
         .groupBy("user_id", "session_id")
