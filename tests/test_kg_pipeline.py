@@ -66,6 +66,21 @@ def test_pipeline_resume(spark, fixture_out):
     assert {"parsed", "linked", "completed", "graph"} <= stages
 
 
+def test_lineage_truncation_marked(spark, tmp_path):
+    """A >512-file stage write must mark truncation in the lineage JSON
+    (total file count + row sum of the unlisted remainder) so per-file
+    lineage never silently becomes a sample at cluster scale."""
+    pipe = Pipeline(spark, str(tmp_path / "trunc"))
+    df = spark.range(2000).repartition(600)
+    pipe._write_stage("manyfiles", df)
+    row = [r for r in pipe.lineage() if r["stage"] == "manyfiles"][0]
+    assert row["truncated"] is True
+    assert row["n_files_total"] > 512
+    assert len(row["partitions"]) == 512
+    listed = sum(p["rows"] for p in row["partitions"])
+    assert listed + row["rows_in_unlisted_files"] == 2000 == row["rows"]
+
+
 def test_partition_layout(fixture_out):
     out, pipe, final = fixture_out
     assert "type_part" in final.columns and "subject_bucket" in final.columns
@@ -366,4 +381,26 @@ def test_ivf_topk_recall_and_determinism(spark):
          for r in ivf_topk(emb, qs, k=5, n_centroids=16, n_probe=8).collect()}
     assert a == b
     pairs = {(q, n) for q, n, _ in a}
-    assert len(pairs & bf) / len(bf) >= 0.6
+    recall = len(pairs & bf) / len(bf)
+    print(f"ivf recall@5 (n_probe=8/16): {recall:.3f}")
+    assert recall >= 0.6
+
+
+def test_lsh_bucket_topk_recall(spark):
+    """Hyperplane-LSH buckets (the first ANN scale path): recall floor vs
+    brute force at sf0.01.  8 planes / 256 buckets over 500 vectors is an
+    aggressive partition (avg <2 vectors/bucket) so the floor is modest;
+    the operator trades recall for a 1/buckets scan fraction."""
+    from xmltoldmigration_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucket_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 10)
+    bf = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, qs, k=5).collect()}
+    got = {(r.query_id, r.neighbor_id)
+           for r in lsh_bucket_topk(emb, qs, k=5, n_planes=4).collect()}
+    recall = len(got & bf) / len(bf)
+    print(f"lsh recall@5 (n_planes=4/16 buckets): {recall:.3f}")
+    assert recall >= 0.3

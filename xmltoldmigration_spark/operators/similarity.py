@@ -76,10 +76,18 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    n_flip: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: sign-of-projection bucket per vector; queries only
-    score candidates in their own bucket. Bucket id is computed JVM-side as
-    a sum of sign bits over the broadcast plane matrix (array literals)."""
+    """Approximate top-k: sign-of-projection bucket per vector; queries
+    score candidates in their own bucket plus multi-probe neighbors
+    (every bucket within Hamming distance `n_flip` of their own — the
+    classic multi-probe LSH recall lever: scan fraction stays
+    (1 + n_planes)/2^n_planes at n_flip=1 while recall roughly doubles
+    on structure-free data).  Bucket ids are computed JVM-side as a sum
+    of sign bits over the broadcast plane matrix (array literals); the
+    probe fan-out is a JVM-side explode over XOR'd bucket ids — each
+    corpus vector lives in exactly one bucket, so probed pairs are
+    already distinct and no dedup shuffle is needed."""
     planes = _hyperplanes(dim, n_planes)
 
     def bucket_expr(vec: str):
@@ -101,6 +109,13 @@ def lsh_bucket_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     ).withColumn("bucket", bucket_expr("qv"))
+    if n_flip >= 1:
+        # multi-probe: own bucket + every single-bit flip (n_flip=1);
+        # deeper flips compose the same way but are rarely worth the scan
+        probe_ids = [F.col("bucket")] + [
+            F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+        ]
+        q = q.withColumn("bucket", F.explode(F.array(*probe_ids)))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -119,74 +134,86 @@ def exact_cosine_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_blocks: int = 16,
+    rows_per_block: int = 2048,
 ):
     """Exact all-pairs cosine >= threshold via BLOCKED numpy matmul.
 
     The naive pair join evaluates an interpreted higher-order-function
     dot product per pair (no codegen for HOFs) — ~50x slower than BLAS.
-    Here vectors group into `n_blocks` blocks, the (upper-triangle)
-    block-pair grid crosses, and ONE Arrow batch per block pair computes
-    the full cosine submatrix with a normalized matmul.  Work stays
-    O(n^2/blocks) per task and O(n^2) total — it is the exact baseline;
-    the LSH-bucketed path (lsh_bucket_topk) is the subquadratic one.
-    Each emitted pair is oriented (min_id, max_id), cosine rounded to 3
-    decimals (cross-engine float noise ~1e-7).
+    Vectors are tagged with a block id (n_blocks derived from an observed
+    count so a block holds <= `rows_per_block` rows no matter the data
+    size), every row is replicated to the upper-triangle block pairs it
+    participates in via an `explode(sequence(...))`, and one
+    `applyInPandas` group per block pair computes the cosine submatrix
+    with a normalized matmul.  No row ever holds more than one vector —
+    the old shape packed a whole block into a single `collect_list` row,
+    which grows O(n) and hits Spark's 2 GB row/Arrow limits at ~100x.
+    Per-task memory is bounded: 2*rows_per_block vectors plus a
+    rows_per_block^2 float submatrix (~33 MB at 2048).  Shuffle volume is
+    O(n * n_blocks) = O(n^2 / rows_per_block) — inherent to exact
+    all-pairs; the LSH-bucketed path (lsh_bucket_topk) is the
+    subquadratic one.  Each emitted pair is oriented (min_id, max_id),
+    cosine rounded to 3 decimals (cross-engine float noise ~1e-7).
     """
+    import math
+
     from pyspark.sql import functions as F
 
-    blocks = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .withColumn("blk", F.pmod(F.col("id"), F.lit(n_blocks)))
-        .groupBy("blk")
-        .agg(F.collect_list(F.struct("id", "vec")).alias("vs"))
-    )
-    grid = (
-        blocks.select(F.col("blk").alias("blk_a"), F.col("vs").alias("vs_a"))
-        .crossJoin(
-            blocks.select(F.col("blk").alias("blk_b"), F.col("vs").alias("vs_b"))
-        )
-        .filter(F.col("blk_a") <= F.col("blk_b"))
-    )
+    n = df.count()  # one cheap observed count sizes the block grid
+    n_blocks = max(1, math.ceil(n / rows_per_block))
 
-    def compute(batches):
+    tagged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    # block g serves as side A of pairs (g, j>=g) and side B of (i<=g, g)
+    side_a = tagged.select(
+        "id", "vec",
+        F.col("blk").alias("pa"),
+        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("pb"),
+        F.lit("a").alias("side"),
+    )
+    side_b = tagged.select(
+        "id", "vec",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("pa"),
+        F.col("blk").alias("pb"),
+        F.lit("b").alias("side"),
+    )
+    rep = side_a.unionByName(side_b)
+
+    def compute(key, pdf):
         import numpy as np
         import pandas as pd
 
-        for pdf in batches:
-            out_a, out_b, out_c = [], [], []
-            for vs_a, vs_b, same in zip(
-                pdf["vs_a"], pdf["vs_b"], pdf["blk_a"] == pdf["blk_b"]
-            ):
-                ids_a = np.array([r["id"] for r in vs_a], dtype=np.int64)
-                ids_b = np.array([r["id"] for r in vs_b], dtype=np.int64)
-                A = np.array([r["vec"] for r in vs_a], dtype=np.float64)
-                B = np.array([r["vec"] for r in vs_b], dtype=np.float64)
-                A /= np.linalg.norm(A, axis=1, keepdims=True)
-                B /= np.linalg.norm(B, axis=1, keepdims=True)
-                cos = A @ B.T
-                ii, jj = np.nonzero(cos >= threshold)
-                ia, ib = ids_a[ii], ids_b[jj]
-                keep = ia != ib
-                ia, ib, cv = ia[keep], ib[keep], cos[ii, jj][keep]
-                lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
-                if same.item() if hasattr(same, "item") else same:
-                    # same block: the matrix contains each pair twice
-                    keep2 = ia < ib
-                    lo, hi, cv = lo[keep2], hi[keep2], cv[keep2]
-                out_a.append(lo)
-                out_b.append(hi)
-                out_c.append(cv)
-            if out_a:
-                yield pd.DataFrame(
-                    {
-                        "id_a": np.concatenate(out_a),
-                        "id_b": np.concatenate(out_b),
-                        "cos_sim": np.round(np.concatenate(out_c), 3),
-                    }
-                )
+        pa, pb = int(key[0]), int(key[1])
+        a, b = pdf[pdf["side"] == "a"], pdf[pdf["side"] == "b"]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        ids_a = a["id"].to_numpy(dtype=np.int64)
+        ids_b = b["id"].to_numpy(dtype=np.int64)
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in a["vec"]])
+        B = np.stack([np.asarray(v, dtype=np.float64) for v in b["vec"]])
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        B /= np.linalg.norm(B, axis=1, keepdims=True)
+        cos = A @ B.T
+        ii, jj = np.nonzero(cos >= threshold)
+        ia, ib = ids_a[ii], ids_b[jj]
+        keep = (ia < ib) if pa == pb else (ia != ib)
+        ia, ib, cv = ia[keep], ib[keep], cos[ii, jj][keep]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cos_sim": np.round(cv, 3),
+            }
+        )
 
-    return grid.mapInPandas(compute, "id_a bigint, id_b bigint, cos_sim double")
+    return rep.groupBy("pa", "pb").applyInPandas(
+        compute, "id_a bigint, id_b bigint, cos_sim double"
+    )
 
 
 def ivf_index(
@@ -283,24 +310,45 @@ def ivf_topk(
     centroids, cells = ivf_index(corpus, n_centroids, id_col, vec_col)
     cmat = np.stack([m for _, m in centroids])
 
-    q_rows = queries.select(
+    # Probe assignment stays distributed: the tiny quantizer matrix ships
+    # in the task closure (broadcast-by-value) and each Arrow batch of
+    # queries gets its n_probe cells from one matmul + per-row argsort —
+    # no driver collect, so the query side can itself be a large table.
+    q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    ).collect()
-    probe_rows = []
-    for r in q_rows:
-        v = np.asarray(r["qv"], dtype=np.float64)
-        v = v / max(np.linalg.norm(v), 1e-12)
-        for cell in np.argsort(-(cmat @ v))[:n_probe]:
-            probe_rows.append((r["query_id"], r["qv"], int(cell)))
-    import pandas as pd
-
-    spark = corpus.sparkSession
-    probes = spark.createDataFrame(
-        pd.DataFrame(probe_rows, columns=["query_id", "qv", "cell"])
     )
 
+    def assign_probes(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["qv"]])
+            Qn = Q / _np.maximum(_np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+            # per-row argsort of -(cmat @ v), identical tie behavior to the
+            # old driver loop (same values, same sort kind)
+            order = _np.stack([_np.argsort(-(cmat @ v))[:n_probe] for v in Qn])
+            n = len(pdf)
+            rep = _np.repeat(_np.arange(n), n_probe)
+            yield _pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy()[rep],
+                    "qv": pdf["qv"].iloc[rep].to_list(),
+                    "cell": order.ravel().astype("int32"),
+                }
+            )
+
+    probes = q.mapInPandas(
+        assign_probes, schema="query_id long, qv array<double>, cell int"
+    )
+
+    # No forced broadcast: probes is data-derived (|queries| * n_probe
+    # rows) — AQE broadcasts when it is actually small, and a table-sized
+    # query side degrades gracefully to a shuffle join on cell.
     scored = (
-        cells.join(F.broadcast(probes), "cell")
+        cells.join(probes, "cell")
         .filter(F.col("id") != F.col("query_id"))
         .withColumn("cv", F.col("vec").cast("array<double>"))
         .withColumn("sim", _cosine("qv", "cv"))

@@ -77,9 +77,10 @@ class Pipeline:
         import pyarrow.parquet as pq
         from concurrent.futures import ThreadPoolExecutor
 
-        part_files = sorted(
+        all_files = sorted(
             p for p in Path(path).rglob("*.parquet") if not p.name.startswith(".")
-        )[:512]
+        )
+        part_files = all_files[:512]
 
         def _footer(p):
             return {"file": p.name, "rows": pq.ParquetFile(p).metadata.num_rows}
@@ -95,6 +96,17 @@ class Pipeline:
             "wall_s": round(time.time() - t0, 3),
             "partitions": per_file,
         }
+        # At cluster scale a stage writes thousands of files; the per-file
+        # list keeps the first 512 but the truncation is MARKED (total file
+        # count + remainder row sum) so lineage consumers never mistake the
+        # sample for the whole write.
+        if len(all_files) > 512:
+            rest = all_files[512:]
+            with ThreadPoolExecutor(max_workers=8) as ex:
+                rest_rows = sum(r["rows"] for r in ex.map(_footer, rest))
+            lineage["truncated"] = True
+            lineage["n_files_total"] = len(all_files)
+            lineage["rows_in_unlisted_files"] = rest_rows
         with open(self.out / "_lineage" / f"{name}.json", "w") as f:
             json.dump(lineage, f)
         (self._stage_dir(name) / "_DONE").touch()

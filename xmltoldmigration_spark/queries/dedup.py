@@ -228,9 +228,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # path; ann_lsh_bucketed in operators/similarity.py is the bucketed scale
 # path, same relationship as dedup_ngram_jaccard : dedup_minhash_lsh).
 # Implemented as BLOCKED numpy matmul (operators/similarity.py
-# exact_cosine_pairs): one Arrow batch per block pair computes the whole
-# cosine submatrix with BLAS instead of an interpreted per-pair
-# higher-order-function dot product (~50x).  Cosine rounded to 3 decimals
+# exact_cosine_pairs): one applyInPandas group per block pair computes the
+# whole cosine submatrix with BLAS instead of an interpreted per-pair
+# higher-order-function dot product (~50x); block size is bounded
+# (rows_per_block) so no row/group grows O(n).  Cosine rounded to 3 decimals
 # on both engines (cross-engine float noise ~1e-7, data margins >= 1e-4
 # — verified at sf0.01).
 # --------------------------------------------------------------------------

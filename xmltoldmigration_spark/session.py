@@ -27,6 +27,18 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
+    # Module-level UDFs (e.g. operators/simhash._simhash_hex) pickle by
+    # module REFERENCE, so Python workers must be able to import this
+    # package regardless of the driver's cwd.  PYTHONPATH set before the
+    # JVM spawns reaches local-mode workers; spark.executorEnv covers the
+    # cluster case.  (Nested closures instead capture the path string and
+    # bootstrap sys.path inside — see kg/transfers/rkts.py.)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pp if pp else "")
+        )
     if shuffle_partitions is None:
         n = os.cpu_count() or 8
         shuffle_partitions = int(cpus) if cpus.isdigit() else min(n, 32)
@@ -53,6 +65,7 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
