@@ -35,6 +35,46 @@ from xmltoldmigration_spark.kg.parse import parse_src, split_streams
 N_SUBJECT_BUCKETS = 64
 
 
+def _authority_rep_pairs() -> list[tuple[str, str]]:
+    """(node, representative) pairs for the STATIC authority duplicate
+    clusters, representative = min reachable id (same semantics as
+    operators/connected_components.py), node != comp only.
+
+    Computed once per process with a driver-side union-find: the input is
+    the shipped cluster CSVs (CommonMigration.java:152-157), fixed at
+    build time and ~38k pairs — there is nothing distributed about it.
+    """
+    global _AUTH_REP_CACHE
+    if _AUTH_REP_CACHE is not None:
+        return _AUTH_REP_CACHE
+    from xmltoldmigration_spark.kg.authority import get_authority
+
+    pairs = list(get_authority().clusters.items())
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    nodes = {n for p in pairs for n in p}
+    _AUTH_REP_CACHE = [
+        (n, find(n)) for n in sorted(nodes) if find(n) != n
+    ]
+    return _AUTH_REP_CACHE
+
+
+_AUTH_REP_CACHE: list[tuple[str, str]] | None = None
+
+
 class Pipeline:
     def __init__(self, spark: SparkSession, out_dir: str):
         self.spark = spark
@@ -223,10 +263,14 @@ class Pipeline:
                         json.dump({"stage": name, "rows": obs.get["rows"],
                                    "fused": True}, f)
 
-        # side tables (errors / dangling links) — small, written last.
-        # join-derived error rows come from _error_sides, which depends
-        # only on the parse output — so a resumed run writes the SAME
-        # errors table as a fresh one
+        # side tables (errors / dangling links) — small, written last,
+        # SEQUENTIALLY: a concurrent-thread variant was measured at
+        # n=400k/local[1] and inflated the three writes ~6x (347 s e2e vs
+        # 267 s — interleaved small jobs thrash the single-JVM scheduler
+        # and page cache), while at local[4] the overlap gain was inside
+        # run-to-run noise.  join-derived error rows come from
+        # _error_sides, which depends only on the parse output — so a
+        # resumed run writes the SAME errors table as a fresh one.
         if not (resume and self._done("errors")):
             self._write_stage(
                 "errors",
@@ -505,35 +549,35 @@ class Pipeline:
 
         The pair lists are authority data (~130k rows -> broadcastable);
         at 100 TB the same plan holds because the rewrite side stays small
-        while the triple side never shuffles (two broadcast joins)."""
-        from xmltoldmigration_spark.kg.authority import get_authority
-        from xmltoldmigration_spark.operators.connected_components import (
-            connected_components,
-        )
+        while the triple side never shuffles (two broadcast joins).
 
+        The components themselves come from `_authority_rep_pairs()` — a
+        process-cached pure-Python union-find: the clusters are STATIC
+        shipped CSVs, so spinning three Spark jobs per pipeline run
+        (createDataFrame -> count -> collect, ~1.5 s of serial driver
+        time) to recompute a fixed 38k-entry mapping was pure overhead.
+        The distributed operator (operators/connected_components.py)
+        remains the path for data-derived edge sets (G1 query)."""
         dedup_cols = [
             "graph", "subject", "predicate", "o_kind", "o_value", "o_lang", "o_datatype"
         ]
-        auth = get_authority()
-        pairs = [(k, v) for k, v in auth.clusters.items()]
-        if not pairs:
+        rep_pairs = _authority_rep_pairs()
+        if not rep_pairs:
             return triples.dropDuplicates(dedup_cols)
         import pandas as pd
 
+        bdr = "http://purl.bdrc.io/resource/"
         # pandas -> Arrow path: one zero-copy batch instead of per-row
         # Py4J conversion of tens of thousands of tuples
-        edges = self.spark.createDataFrame(
-            pd.DataFrame(pairs, columns=["src", "dst"])
-        ).coalesce(4)
-        comp = connected_components(edges)
-        bdr = "http://purl.bdrc.io/resource/"
+        rep = self.spark.createDataFrame(
+            pd.DataFrame(
+                [(bdr + n, bdr + c) for n, c in rep_pairs],
+                columns=["_n", "_c"],
+            )
+        )
         # the broadcast hint here is safe (unlike the data-derived sides
         # elsewhere): rep is bounded by the shipped authority cluster
         # CSVs (~38k pairs), not by corpus size
-        rep = comp.filter(F.col("node") != F.col("comp")).select(
-            F.concat(F.lit(bdr), "node").alias("_n"),
-            F.concat(F.lit(bdr), "comp").alias("_c"),
-        )
         t = (
             triples.join(F.broadcast(rep), triples.subject == F.col("_n"), "left")
             .withColumn("subject", F.coalesce("_c", "subject"))

@@ -51,7 +51,17 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
-    oracle=None,  # stubbed decode -> rows-only check
+    # The deterministic decoder stand-in (md5 of consecutive 64-byte
+    # windows) IS SQL over an ASCII corpus: byte offsets == character
+    # offsets (asserted for the shipped testdata), so VARCHAR substring
+    # windows hash identically to the Spark side's byte windows.
+    oracle="""
+    WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents)
+    SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           md5(substring(text, CAST(i*64+1 AS INT), 64)) AS frame_sig
+    FROM (SELECT doc_id, text, unnest(range(CAST(ceil(n/64.0) AS BIGINT))) AS i
+          FROM b)
+    """,
     survey_ref="training-data multimodal: frame-sample plumbing over stubbed decoder",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -80,7 +80,26 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_stateful_sessionization",
-    oracle=None,
+    # Same session semantics as the batch twin (gap > 30 min, sessions
+    # numbered per user in event order), so it shares the same SQL oracle:
+    # the availableNow streaming run must converge to exactly the batch
+    # answer — a stronger check than the old rows-only count.
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), s AS (
+      SELECT user_id, event_id,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events, MIN(event_id) AS first_event
+    FROM s GROUP BY user_id, session_id
+    """,
     survey_ref="streaming: applyInPandasWithState sessionization (custom stateful op)",
 )
 def stream_stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
