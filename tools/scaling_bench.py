@@ -25,6 +25,10 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpus", type=int, required=True)
     ap.add_argument("--n", type=int, default=20000)
+    ap.add_argument("--src", choices=["parquet", "generate"], default="parquet",
+                    help="parquet: pre-materialized columnar source (the "
+                         "Iceberg-scan stand-in, default); generate: "
+                         "in-job synthetic generation (round-1/2 method)")
     args = ap.parse_args()
 
     from xmltoldmigration_spark.plans.pipeline import Pipeline
@@ -49,8 +53,32 @@ def main() -> None:
     )
     out_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     out = tempfile.mkdtemp(prefix=f"kgscale{args.cpus}_", dir=out_base)
+    src_dir = None
     try:
-        src = load_synthetic_src(spark, args.n, num_partitions=args.cpus * 2)
+        # fixed file count in parquet mode: both parallelism levels scan
+        # the IDENTICAL byte layout, so cores are the only variable
+        n_parts = 16 if args.src == "parquet" else args.cpus * 2
+        src = load_synthetic_src(spark, args.n, num_partitions=n_parts)
+        if args.src == "parquet":
+            # Materialize the source table OUTSIDE the timed window and
+            # read it back as a columnar scan: the engine's real input is
+            # an Iceberg/parquet table of raw records (BASELINE north
+            # star / TESTDATA shape), not an in-job Python generator —
+            # inline generation rides the Python-RDD pickle path and its
+            # cost/scaling belongs to the harness, not the pipeline.
+            # (--src generate keeps the round-1/2 methodology.)
+            src_dir = tempfile.mkdtemp(prefix=f"kgsrc{args.cpus}_", dir=out_base)
+            src.write.mode("overwrite").parquet(src_dir)
+            # size scan splits for the bench corpus: the default 128 MB
+            # bins a small corpus into a couple of partitions and the
+            # shuffle-free parse stage loses its parallelism (at 100 TB
+            # the default gives thousands of splits and this knob is moot)
+            total = sum(
+                f.stat().st_size for f in Path(src_dir).glob("*.parquet")
+            )
+            split = max(total // (2 * max(args.cpus, 8)), 1024 * 1024)
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
+            src = spark.read.parquet(src_dir)
         t0 = time.perf_counter()
         pipe = Pipeline(spark, out)
         final = pipe.run(src, resume=False)
@@ -60,10 +88,13 @@ def main() -> None:
         wall = time.perf_counter() - t0
         print(json.dumps({
             "cpus": args.cpus, "wall_s": round(wall, 3), "triples": triples,
+            "src": args.src,
             "stages": {r["stage"]: r.get("wall_s", "fused") for r in pipe.lineage()},
         }))
     finally:
         shutil.rmtree(out, ignore_errors=True)
+        if src_dir:
+            shutil.rmtree(src_dir, ignore_errors=True)
         spark.stop()
 
 
