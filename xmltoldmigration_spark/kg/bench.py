@@ -60,6 +60,7 @@ def bench_kg_pipeline(spark, n: int | None = None) -> dict:
         ).parquet(src_dir)
         total = sum(f.stat().st_size for f in Path(src_dir).glob("*.parquet"))
         split = max(total // (2 * par), 1 * 1024 * 1024)
+        prev_split = spark.conf.get("spark.sql.files.maxPartitionBytes", None)
         spark.conf.set("spark.sql.files.maxPartitionBytes", str(split))
         src = spark.read.parquet(src_dir)
         t0 = time.perf_counter()
@@ -76,6 +77,15 @@ def bench_kg_pipeline(spark, n: int | None = None) -> dict:
             "kg_triples_per_s": round(triples / wall, 1),
         }
     finally:
+        # restore the split size: the bench session goes on to run the
+        # headline queries, which should see the default scan sizing
+        try:
+            if prev_split is not None:
+                spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
+            else:
+                spark.conf.unset("spark.sql.files.maxPartitionBytes")
+        except Exception:
+            pass
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(src_dir, ignore_errors=True)
 
