@@ -19,7 +19,16 @@ import pytest
 
 SF_DIR = "/root/testdata/sf0.01"
 GOLDEN = Path(__file__).parent / "fixtures" / "golden"
-NAMES = ("dedup_simhash", "multimodal_resize", "kg_canonical_serialization")
+# Every deterministic rows-only entry is pinned; the one exception is
+# ann_ivf_probe, whose BLAS-matmul tie-breaks are float-rounding-
+# sensitive across numpy builds (it has its own determinism + recall
+# tests instead, tests/test_kg_pipeline.py).
+NAMES = (
+    "dedup_simhash", "multimodal_resize", "kg_canonical_serialization",
+    "kg_parse_triple_extraction", "kg_symmetric_completion",
+    "kg_dangling_link_report", "kg_full_pipeline_by_type",
+    "kg_title_export", "kg_rkts_transfer", "ann_lsh_bucketed",
+)
 
 
 def _load_fixture(name: str):

@@ -46,7 +46,10 @@ def main():
                       shuffle_partitions=8)
     OUT.mkdir(parents=True, exist_ok=True)
     for name in ("dedup_simhash", "multimodal_resize",
-                 "kg_canonical_serialization"):
+                 "kg_canonical_serialization", "kg_parse_triple_extraction",
+                 "kg_symmetric_completion", "kg_dangling_link_report",
+                 "kg_full_pipeline_by_type", "kg_title_export",
+                 "kg_rkts_transfer", "ann_lsh_bucketed"):
         cols, rows = rows_for(name, spark)
         p = OUT / f"{name}.csv"
         with open(p, "w") as f:
