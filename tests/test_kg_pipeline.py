@@ -386,6 +386,23 @@ def test_ivf_topk_recall_and_determinism(spark):
     assert recall >= 0.6
 
 
+def test_ann_parameter_edges(spark):
+    """ivf_topk clamps n_probe to the quantizer size instead of crashing
+    on mismatched probe arrays; lsh_bucket_topk refuses Hamming-distance
+    >1 probing rather than silently behaving like n_flip=1."""
+    import pytest as _pytest
+    from xmltoldmigration_spark.operators.similarity import (
+        ivf_topk,
+        lsh_bucket_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 3)
+    assert ivf_topk(emb, qs, k=5, n_centroids=8, n_probe=16).count() == 15
+    with _pytest.raises(NotImplementedError):
+        lsh_bucket_topk(emb, qs, k=5, n_flip=2)
+
+
 def test_exact_cosine_pairs_block_invariance(spark):
     """The blocked all-pairs result must not depend on the block grid:
     identical pair sets at rows_per_block 64 (many block pairs) and 4096

@@ -29,6 +29,12 @@ def main() -> None:
                     help="parquet: pre-materialized columnar source (the "
                          "Iceberg-scan stand-in, default); generate: "
                          "in-job synthetic generation (round-1/2 method)")
+    ap.add_argument("--n-files", type=int, default=None,
+                    help="parquet mode: file count of the materialized "
+                         "source (default max(16, 2*cpus)). One file = one "
+                         "row group = the parse-parallelism floor, so a "
+                         "PAIR of runs must pass the same value sized for "
+                         "the HIGHER leg (run_scaling_probe does).")
     args = ap.parse_args()
 
     from xmltoldmigration_spark.plans.pipeline import Pipeline
@@ -55,9 +61,15 @@ def main() -> None:
     out = tempfile.mkdtemp(prefix=f"kgscale{args.cpus}_", dir=out_base)
     src_dir = None
     try:
-        # fixed file count in parquet mode: both parallelism levels scan
-        # the IDENTICAL byte layout, so cores are the only variable
-        n_parts = 16 if args.src == "parquet" else args.cpus * 2
+        # fixed file count in parquet mode: both parallelism levels of a
+        # pair scan the IDENTICAL byte layout, so cores are the only
+        # variable; default floors parse parallelism at >= 2 tasks/core
+        # for THIS run — pairs above 8 cores must pin --n-files to the
+        # higher leg's value on both runs
+        if args.src == "parquet":
+            n_parts = args.n_files or max(16, 2 * args.cpus)
+        else:
+            n_parts = args.cpus * 2
         src = load_synthetic_src(spark, args.n, num_partitions=n_parts)
         if args.src == "parquet":
             # Materialize the source table OUTSIDE the timed window and

@@ -94,11 +94,14 @@ def run_scaling_probe(n: int = 400000, cpus_low: int = 8, cpus_high: int = 32) -
     """Same job, two parallelism levels, fresh JVM each -> scaling
     efficiency = T(low)/T(high) / (high/low).  Invoked by tools/scaling_bench.py."""
     results = {}
+    # both legs scan the identical parquet layout, sized for the high leg
+    n_files = max(16, 2 * cpus_high)
     for cpus in (cpus_low, cpus_high):
         cmd = [
             sys.executable,
             str(REPO / "tools" / "scaling_bench.py"),
             "--cpus", str(cpus), "--n", str(n),
+            "--n-files", str(n_files),
         ]
         out = subprocess.run(cmd, capture_output=True, text=True, cwd=str(REPO))
         line = out.stdout.strip().splitlines()[-1]

@@ -109,9 +109,14 @@ def lsh_bucket_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
     ).withColumn("bucket", bucket_expr("qv"))
-    if n_flip >= 1:
-        # multi-probe: own bucket + every single-bit flip (n_flip=1);
-        # deeper flips compose the same way but are rarely worth the scan
+    if n_flip > 1:
+        # deeper flips would need the C(n_planes, k) bit-mask combinations;
+        # refuse rather than silently behaving like n_flip=1
+        raise NotImplementedError(
+            "lsh_bucket_topk supports n_flip in (0, 1); Hamming-distance "
+            f">1 probing is not implemented (got n_flip={n_flip})")
+    if n_flip == 1:
+        # multi-probe: own bucket + every single-bit flip
         probe_ids = [F.col("bucket")] + [
             F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
         ]
@@ -135,6 +140,7 @@ def exact_cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rows_per_block: int = 2048,
+    n_rows: int | None = None,
 ):
     """Exact all-pairs cosine >= threshold via BLOCKED numpy matmul.
 
@@ -159,13 +165,19 @@ def exact_cosine_pairs(
 
     from pyspark.sql import functions as F
 
-    n = df.count()  # one cheap observed count sizes the block grid
+    # an observed count sizes the block grid; callers that already know
+    # the cardinality pass n_rows and skip the extra evaluation of the
+    # upstream plan (for a plain table scan the count is metadata-only)
+    n = n_rows if n_rows is not None else df.count()
     n_blocks = max(1, math.ceil(n / rows_per_block))
 
     tagged = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("blk"),
+        # hash the id before the mod: raw pmod(id) breaks the
+        # <=rows_per_block bound when ids are strided/clustered (e.g.
+        # sharded allocators handing out k*1000 ids)
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
     )
     # block g serves as side A of pairs (g, j>=g) and side B of (i<=g, g)
     side_a = tagged.select(
@@ -322,6 +334,8 @@ def ivf_topk(
         import numpy as _np
         import pandas as _pd
 
+        # a quantizer can't serve more probes than it has cells
+        p = min(n_probe, len(cmat))
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -329,9 +343,9 @@ def ivf_topk(
             Qn = Q / _np.maximum(_np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
             # per-row argsort of -(cmat @ v), identical tie behavior to the
             # old driver loop (same values, same sort kind)
-            order = _np.stack([_np.argsort(-(cmat @ v))[:n_probe] for v in Qn])
+            order = _np.stack([_np.argsort(-(cmat @ v))[:p] for v in Qn])
             n = len(pdf)
-            rep = _np.repeat(_np.arange(n), n_probe)
+            rep = _np.repeat(_np.arange(n), p)
             yield _pd.DataFrame(
                 {
                     "query_id": pdf["query_id"].to_numpy()[rep],

@@ -328,12 +328,16 @@ class Pipeline:
                 F.col("_p")[0].alias("_access"),
                 F.col("_p")[2].alias("_ric"),
             )
-            # Deterministic per-_ie pick: max() keeps an access-bearing row
-            # over an empty-access one (and "1" over "") if a record ever
-            # yields multiple workAdmin rows — dropDuplicates(["_ie"]) kept
-            # an arbitrary row, making access/ric flap between runs.
+            # Deterministic per-_ie pick via WHOLE-ROW struct max: keeps an
+            # access-bearing row over an empty-access one if a record ever
+            # yields multiple workAdmin rows (dropDuplicates(["_ie"]) kept
+            # an arbitrary row, making access/ric flap between runs), and
+            # never fabricates an (_access, _ric) combination that exists
+            # on no source row (independent per-column max() would).
             .groupBy("_ie")
-            .agg(F.max("_access").alias("_access"), F.max("_ric").alias("_ric"))
+            .agg(F.max(F.struct("_access", "_ric")).alias("_s"))
+            .select("_ie", F.col("_s._access").alias("_access"),
+                    F.col("_s._ric").alias("_ric"))
         )
         access = admin.filter(F.col("_access") != "").drop("_ric")
         ric_all = admin.filter(F.col("_ric") == "1").select(
