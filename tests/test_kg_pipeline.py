@@ -388,19 +388,26 @@ def test_ivf_topk_recall_and_determinism(spark):
 
 def test_ann_parameter_edges(spark):
     """ivf_topk clamps n_probe to the quantizer size instead of crashing
-    on mismatched probe arrays; lsh_bucket_topk refuses Hamming-distance
-    >1 probing rather than silently behaving like n_flip=1."""
-    import pytest as _pytest
+    on mismatched probe arrays; lsh_bucket_topk's Hamming-distance-2
+    probing scans a strict superset of the distance-1 buckets, so its
+    result set recall can only grow."""
     from xmltoldmigration_spark.operators.similarity import (
+        brute_force_topk,
         ivf_topk,
         lsh_bucket_topk,
     )
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    qs = emb.filter(F.col("vec_id") < 3)
-    assert ivf_topk(emb, qs, k=5, n_centroids=8, n_probe=16).count() == 15
-    with _pytest.raises(NotImplementedError):
-        lsh_bucket_topk(emb, qs, k=5, n_flip=2)
+    qs = emb.filter(F.col("vec_id") < 10)
+    assert ivf_topk(emb, qs.filter(F.col("vec_id") < 3),
+                    k=5, n_centroids=8, n_probe=16).count() == 15
+    bf = {(r.query_id, r.neighbor_id)
+          for r in brute_force_topk(emb, qs, k=5).collect()}
+    r1 = {(r.query_id, r.neighbor_id)
+          for r in lsh_bucket_topk(emb, qs, k=5, n_flip=1).collect()}
+    r2 = {(r.query_id, r.neighbor_id)
+          for r in lsh_bucket_topk(emb, qs, k=5, n_flip=2).collect()}
+    assert len(r2 & bf) >= len(r1 & bf)
 
 
 def test_exact_cosine_pairs_block_invariance(spark):
