@@ -38,6 +38,6 @@ def test_golden_covers_all_deterministic_rows_only():
     import __spark_entry__ as e
 
     rows_only = set(e.queries()) - set(e.oracle_sql())
-    exceptions = {"ann_ivf_probe"}  # BLAS float tie-breaks; own recall tests
+    exceptions: set[str] = set()  # none — every rows-only entry is pinned
     unpinned = rows_only - set(GOLDEN_NAMES) - exceptions
     assert not unpinned, f"rows-only entries without a value check: {unpinned}"

@@ -14,15 +14,17 @@ import csv
 import hashlib
 from pathlib import Path
 
-# Every deterministic rows-only queries() entry.  The one exception is
-# ann_ivf_probe, whose BLAS-matmul tie-breaks are float-rounding-
-# sensitive across numpy builds (it has its own determinism + recall
-# tests in tests/test_kg_pipeline.py).
+# Every deterministic rows-only queries() entry.  ann_ivf_probe joined
+# the list once its cell assignment / probe order / final ranking all
+# quantize similarities to 6 decimals (operators/similarity.py), which
+# removed the BLAS-matmul tie-break sensitivity; partition-invariance is
+# verified in tests/test_kg_pipeline.py alongside its recall floor.
 GOLDEN_NAMES = (
     "dedup_simhash", "multimodal_resize", "kg_canonical_serialization",
     "kg_parse_triple_extraction", "kg_symmetric_completion",
     "kg_dangling_link_report", "kg_full_pipeline_by_type",
     "kg_title_export", "kg_rkts_transfer", "ann_lsh_bucketed",
+    "ann_ivf_probe",
 )
 
 GOLDEN_DIR = Path(__file__).resolve().parent.parent / "tests" / "fixtures" / "golden"

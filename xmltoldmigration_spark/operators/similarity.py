@@ -282,7 +282,11 @@ def ivf_index(
 
             for pdf in batches:
                 A = normalize(_np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["vec"]]))
-                cell = (A @ cm.T).argmax(axis=1)
+                # quantize before argmax: BLAS GEMM results for one row vary
+                # ~1e-16..1e-7 with the batch's matrix blocking (i.e. with
+                # partitioning), so near-ties would flip cells run-to-run;
+                # at 6 decimals argmax picks the first max deterministically
+                cell = _np.round(A @ cm.T, 6).argmax(axis=1)
                 yield _pd.DataFrame(
                     {"id": pdf["id"], "vec": pdf["vec"], "cell": cell.astype("int32")}
                 )
@@ -327,7 +331,10 @@ def ivf_topk(
     """Approximate cosine top-k via IVF probing (the second scale path
     next to the LSH buckets): each query scores only the vectors in its
     n_probe nearest cells — a fraction n_probe/n_centroids of the corpus.
-    Deterministic ties: (sim desc, neighbor_id)."""
+    Fully deterministic (golden-pinnable): cell assignment, probe order,
+    and the final ranking all quantize similarities to 6 decimals before
+    comparing, so BLAS summation-order noise (~1e-7, far below any real
+    margin) cannot flip a rank; ties then break on the lowest id."""
     centroids, cells = ivf_index(corpus, n_centroids, id_col, vec_col)
     cmat = np.stack([m for _, m in centroids])
 
@@ -350,9 +357,13 @@ def ivf_topk(
                 continue
             Q = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["qv"]])
             Qn = Q / _np.maximum(_np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-            # per-row argsort of -(cmat @ v), identical tie behavior to the
-            # old driver loop (same values, same sort kind)
-            order = _np.stack([_np.argsort(-(cmat @ v))[:p] for v in Qn])
+            # quantize + stable sort: raw argsort of BLAS floats breaks ties
+            # on ~1e-7 summation-order noise (batch-shape-dependent), which
+            # made probe sets partition-sensitive; rounding to 6 decimals
+            # with a stable sort ties off to the lowest cell id
+            order = _np.stack(
+                [_np.argsort(-_np.round(cmat @ v, 6), kind="stable")[:p] for v in Qn]
+            )
             n = len(pdf)
             rep = _np.repeat(_np.arange(n), p)
             yield _pd.DataFrame(
@@ -376,7 +387,10 @@ def ivf_topk(
         .withColumn("cv", F.col("vec").cast("array<double>"))
         .withColumn("sim", _cosine("qv", "cv"))
     )
-    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("id"))
+    # the fold in _cosine is sequential (bit-stable), but rank on the same
+    # 6-decimal quantization as the probe side so the whole operator's tie
+    # policy is one rule: round(sim, 6) desc, then id
+    w = W.partitionBy("query_id").orderBy(F.round(F.col("sim"), 6).desc(), F.col("id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
