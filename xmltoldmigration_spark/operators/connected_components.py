@@ -6,12 +6,15 @@ reference CommonMigration.java:152-157); in this engine clustering is a real
 distributed stage: cluster pairs form an undirected edge list, each node's
 component representative is the minimum node id reachable from it.
 
-Algorithm: large-star/small-star-style min propagation —
+Algorithm: min-label propagation with pointer doubling —
     label(v) <- min(label(v), min over neighbors u of label(u))
-iterated to fixpoint. Each iteration is one shuffle join + one aggregation;
-convergence is O(log d) iterations for diameter d (cluster pair lists are
-shallow: star-shaped around the canonical id, so 2-4 iterations in
-practice). `localCheckpoint` truncates the lineage each iteration so the
+    label(v) <- label(label(v))
+iterated to fixpoint. Each iteration is one edge-shuffle join + one
+aggregation + one label self-join; the doubling step is what makes
+convergence O(log d) for diameter d (one-hop propagation alone is O(d) —
+a long path graph would exhaust the iteration budget). Cluster pair lists
+are shallow (star-shaped around the canonical id), so 2-3 iterations in
+practice. `localCheckpoint` truncates the lineage each iteration so the
 plan doesn't grow exponentially — mandatory for iterative DataFrame jobs.
 
 No GraphFrames dependency: plain joins keep this runnable anywhere and let
@@ -73,11 +76,22 @@ def connected_components(
         return edges.sparkSession.createDataFrame(
             pd.DataFrame(out, columns=["node", "comp"])
         )
-    # cluster pair lists are tiny relative to the triple table; bound the
-    # task count so each min-propagation iteration isn't scheduling-bound
-    n = edges.rdd.getNumPartitions()
-    if n > 16:
-        edges = edges.coalesce(16)
+    # Size the iteration width from the data, not a constant: a small
+    # edge list coalesces so each propagation round isn't scheduling-
+    # bound, but the width grows ~linearly with edge count so a
+    # data-derived graph (dedup-candidate pairs at 100 TB: billions of
+    # edges) keeps full scan parallelism — a fixed coalesce(16) here
+    # would bottleneck every iteration regardless of cluster size.  The
+    # count is one cheap job (metadata-only for a plain parquet scan)
+    # amortized over O(log d) shuffle iterations; the per-iteration
+    # join/agg widths themselves follow spark.sql.shuffle.partitions +
+    # AQE, so this governs only the edge-scan side.
+    import math
+
+    n_edges = edges.count()
+    target = max(16, math.ceil(n_edges / 2_000_000))
+    if edges.rdd.getNumPartitions() > target:
+        edges = edges.coalesce(target)
     # undirected: symmetrize once, dedup
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -104,6 +118,22 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
         )
+        # pointer doubling: comp(v) <- comp(comp(v)).  One-hop propagation
+        # alone needs O(diameter) rounds — a path graph of length 300
+        # would exhaust max_iterations and return wrong labels.  Labels
+        # are monotone non-increasing and always name a live node (self-
+        # edges put every node in `labels`), so chasing one extra hop per
+        # round gives the usual O(log d) convergence.
+        relab = new_labels.select(
+            F.col("node").alias("pn"), F.col("comp").alias("pcomp")
+        )
+        new_labels = (
+            new_labels.join(relab, new_labels.comp == relab.pn, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("pcomp", "comp")).alias("comp"),
+            )
+        )
         new_labels = new_labels.localCheckpoint(eager=True)
         # fixpoint test: any node whose label shrank this round?
         changed = (
@@ -115,5 +145,8 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} iterations"
+        " — raise max_iterations (labels would be silently wrong otherwise)"
+    )
