@@ -56,16 +56,165 @@ def brute_force_topk(
     )
 
 
-def _hyperplanes(dim: int, n_planes: int) -> np.ndarray:
-    """Deterministic pseudo-random hyperplane matrix (md5 counter-mode)."""
+def _hyperplanes(dim: int, n_planes: int, table: int = 0) -> np.ndarray:
+    """Deterministic pseudo-random hyperplane matrix (md5 counter-mode).
+    `table` seeds independent matrices for the OR-amplified multi-table
+    construction; table 0 keeps the historical seed so single-table
+    results are stable across versions."""
+    prefix = "lsh-plane" if table == 0 else f"lsh-plane:t{table}"
     vals = []
     i = 0
     while len(vals) < dim * n_planes:
-        h = hashlib.md5(f"lsh-plane:{i}".encode()).digest()
+        h = hashlib.md5(f"{prefix}:{i}".encode()).digest()
         for off in range(0, 16, 4):
             vals.append(int.from_bytes(h[off : off + 4], "big") / 2**31 - 1.0)
         i += 1
     return np.array(vals[: dim * n_planes]).reshape(n_planes, dim)
+
+
+def _bucket_expr(vec: str, planes: np.ndarray):
+    """JVM-side bucket id: sum of sign bits of the projections onto the
+    plane matrix (shipped as array literals — no Python in the hot path)."""
+    bits = []
+    for p in range(len(planes)):
+        lit = F.array(*[F.lit(float(x)) for x in planes[p]])
+        proj = F.aggregate(
+            F.zip_with(F.col(vec), lit, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_flip: int = 1,
+    n_tables: int = 1,
+) -> DataFrame:
+    """DataFrame[query_id, qv, neighbor_id, cv] — the distinct candidate
+    pairs an (L tables, k bits) OR-amplified, multi-probed hyperplane LSH
+    would score.  Exposed separately so recall tests can measure the scan
+    fraction (candidates / (|q| * |corpus|)) the operator actually pays.
+
+    Two recall levers compose:
+    - `n_tables` (OR-amplification): L independent plane matrices; a pair
+      is a candidate if it collides in ANY table.  Collision probability
+      rises from p^k to 1-(1-p^k)^L while expected scan stays ~L/2^k —
+      the standard trade, and at equal scan fraction it beats widening a
+      single table's Hamming probe radius because the tables are
+      independent draws rather than correlated neighbor buckets.
+    - `n_flip` (multi-probe): within each table, queries also probe every
+      bucket within Hamming distance n_flip (XOR-mask explode over
+      compile-time literals).
+
+    Corpus vectors index into exactly one bucket per table (L index
+    entries per vector — the classic LSH storage cost); the join is
+    bucket-local on (table, bucket), and a pair colliding in several
+    tables is deduped before scoring so the expensive cosine runs once
+    per pair.  All ids/masks are literals; everything stays JVM-side."""
+    from itertools import combinations
+
+    masks = [0] + [
+        sum(1 << p for p in bits)
+        for r in range(1, min(n_flip, n_planes) + 1)
+        for bits in combinations(range(n_planes), r)
+    ]
+
+    if n_tables * n_planes <= 64:
+        # small plane budget: bucket ids as pure JVM expressions (plane
+        # rows shipped as array literals) — zero Python in the plan, and
+        # bit-stable sequential folds keep historical goldens unchanged
+        per_table = []
+        for t in range(n_tables):
+            planes = _hyperplanes(dim, n_planes, table=t)
+            per_table.append(
+                F.struct(F.lit(t).alias("tbl"), _bucket_expr("v", planes).alias("bkt"))
+            )
+        buckets = F.array(*per_table)
+    else:
+        # large (L, k): hundreds of plane projections per row would blow
+        # up the Catalyst expression tree, so compute all L*k projections
+        # in one Arrow-batched GEMM against the closure-shipped plane
+        # matrix and pack them into per-table bucket ids.  Projections
+        # are quantized to 6 decimals before the sign test — BLAS GEMM
+        # noise is batch-shape-dependent (~1e-16..1e-7), so an unrounded
+        # near-zero projection would flip buckets with the partitioning.
+        from pyspark.sql import types as T
+        from pyspark.sql.functions import pandas_udf
+
+        P = np.vstack(
+            [_hyperplanes(dim, n_planes, table=t) for t in range(n_tables)]
+        )  # (L*k, dim)
+        weights = (1 << np.arange(n_planes, dtype=np.int64))  # bit p -> 2^p
+
+        @pandas_udf(T.ArrayType(T.StructType([
+            T.StructField("tbl", T.IntegerType()),
+            T.StructField("bkt", T.LongType()),
+        ])))
+        def bucket_ids(vecs):
+            import pandas as pd
+
+            V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            proj = np.round(V @ P.T, 6)  # (n, L*k)
+            bits = (proj >= 0).reshape(len(V), n_tables, n_planes)
+            bkts = (bits * weights).sum(axis=2)  # (n, L)
+            tbl = np.arange(n_tables, dtype=np.int32)
+            return pd.Series(
+                [
+                    [{"tbl": int(t), "bkt": int(b)} for t, b in zip(tbl, row)]
+                    for row in bkts
+                ]
+            )
+
+        buckets = bucket_ids(F.col("v"))
+
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("tb", F.explode(buckets))
+        .select(
+            "neighbor_id",
+            F.col("v").alias("cv"),
+            F.col("tb.tbl").alias("tbl"),
+            F.col("tb.bkt").alias("bkt"),
+        )
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .withColumn("tb", F.explode(buckets))
+        .select(
+            "query_id",
+            F.col("v").alias("qv"),
+            F.col("tb.tbl").alias("tbl"),
+            # multi-probe: each base bucket fans out to its Hamming-<=n_flip
+            # neighborhood via XOR-mask literals (mask 0 = the bucket itself)
+            F.explode(
+                F.array(*[F.col("tb.bkt").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("bkt")
+            if len(masks) > 1
+            else F.col("tb.bkt").alias("bkt"),
+        )
+    )
+    cand = c.join(F.broadcast(q), ["tbl", "bkt"]).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    if n_tables > 1:
+        # a pair colliding in several tables must score once; qv/cv are
+        # identical across the duplicates so the kept row is well-defined
+        cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    return cand.select("query_id", "qv", "neighbor_id", "cv")
 
 
 def lsh_bucket_topk(
@@ -77,64 +226,14 @@ def lsh_bucket_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     n_flip: int = 1,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: sign-of-projection bucket per vector; queries
-    score candidates in their own bucket plus multi-probe neighbors
-    (every bucket within Hamming distance `n_flip` of their own — the
-    classic multi-probe LSH recall lever: scan fraction is
-    (sum of C(n_planes,k) for k<=n_flip, +1)/2^n_planes, e.g. 9/256 at
-    n_flip=1 / 37/256 at n_flip=2 with 8 planes, and recall rises
-    accordingly on structure-free data).  Bucket ids are computed
-    JVM-side as a sum of sign bits over the broadcast plane matrix
-    (array literals); the probe fan-out is a JVM-side explode over
-    XOR'd bucket-id literals — each corpus vector lives in exactly one
-    bucket, so probed pairs are already distinct and no dedup shuffle
-    is needed."""
-    planes = _hyperplanes(dim, n_planes)
-
-    def bucket_expr(vec: str):
-        bits = []
-        for p in range(n_planes):
-            lit = F.array(*[F.lit(float(x)) for x in planes[p]])
-            proj = F.aggregate(
-                F.zip_with(F.col(vec), lit, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
-            )
-            bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0)))
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
-
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
-    ).withColumn("bucket", bucket_expr("cv"))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    ).withColumn("bucket", bucket_expr("qv"))
-    if n_flip >= 1:
-        # multi-probe: own bucket + every bucket within Hamming distance
-        # n_flip — all XOR masks of popcount 1..n_flip (sum of C(n_planes,
-        # k) probes; n_flip=1 -> n_planes+1 buckets, n_flip=2 adds
-        # C(n_planes,2) more).  Masks are compile-time literals, the
-        # fan-out is one JVM-side explode; each corpus vector lives in
-        # exactly one bucket so probed pairs stay distinct without a
-        # dedup shuffle.
-        from itertools import combinations
-
-        masks = [
-            sum(1 << p for p in bits)
-            for k in range(1, min(n_flip, n_planes) + 1)
-            for bits in combinations(range(n_planes), k)
-        ]
-        probe_ids = [F.col("bucket")] + [
-            F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks
-        ]
-        q = q.withColumn("bucket", F.explode(F.array(*probe_ids)))
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", _cosine("qv", "cv"))
-    )
+    """Approximate cosine top-k over the OR-amplified multi-probe LSH
+    candidate set (see lsh_candidates for the construction and the
+    recall/scan trade).  Deterministic ties: (sim desc, neighbor_id)."""
+    scored = lsh_candidates(
+        corpus, queries, n_planes, id_col, vec_col, dim, n_flip, n_tables
+    ).withColumn("sim", _cosine("qv", "cv"))
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))

@@ -42,9 +42,13 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="training-data similarity: random-hyperplane LSH bucketed ANN (scale path)",
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # OR-amplified construction: 32 independent 12-plane tables +
+    # Hamming-1 multi-probe — recall 0.52 vs brute force at a 12.7% scan
+    # fraction on the structure-free sf0.01 embeddings (the hard case;
+    # single-table multi-probe topped out at 0.33 for 14.5% scan).
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return lsh_bucket_topk(emb, queries, k=K, n_planes=6)
+    return lsh_bucket_topk(emb, queries, k=K, n_planes=12, n_flip=1, n_tables=32)
 
 
 @register(
