@@ -51,12 +51,17 @@ def sessionize_stream(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFram
         import pandas as pd
 
         user_id = key[0]
-        rows = pd.concat(list(pdf_iter), ignore_index=True)
-        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        chunks = list(pdf_iter)
+        rows = chunks[0] if len(chunks) == 1 else pd.concat(chunks, ignore_index=True)
         # truncate to whole seconds regardless of the incoming unit
         # (ns/us), matching the batch twin's unix_timestamp() semantics
         epochs = rows["ts"].to_numpy().astype("datetime64[s]").astype("int64")
         event_ids = rows["event_id"].to_numpy()
+        # stable (ts, event_id) order without a pandas sort: lexsort is
+        # the numpy analog and skips per-group frame reindexing
+        order = np.lexsort((event_ids, epochs))
+        epochs = epochs[order]
+        event_ids = event_ids[order]
 
         if state.exists:
             last_epoch, sid, cur_n, cur_first = state.get
@@ -71,23 +76,31 @@ def sessionize_stream(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFram
             new_session[0] = True
         sids = sid + np.cumsum(new_session)
 
-        frame = pd.DataFrame({"session_id": sids, "event_id": event_ids})
-        agg = frame.groupby("session_id", sort=True).agg(
-            n=("event_id", "size"), first=("event_id", "min")
-        )
+        # session boundaries -> segment aggregates via reduceat (no
+        # per-session pandas groupby; the hot path is thousands of small
+        # user groups per batch, so per-group constant cost dominates)
+        starts = np.flatnonzero(new_session)
+        if starts.size == 0 or starts[0] != 0:
+            starts = np.concatenate(([0], starts))
+        seg_sids = sids[starts]
+        seg_n = np.diff(np.concatenate((starts, [len(sids)])))
+        seg_first = np.minimum.reduceat(event_ids, starts)
         # fold the carried open session into its continuation (same sid)
-        out = []
-        for s, row in agg.iterrows():
-            n = int(row["n"])
-            first = int(row["first"])
-            if s == sid and cur_n:
-                n += cur_n
-                first = min(first, int(cur_first))
-            out.append((user_id, int(s), n, first))
-        last = out[-1]
-        state.update((int(epochs[-1]), last[1], last[2], last[3]))
+        if cur_n and seg_sids[0] == sid:
+            seg_n = seg_n.copy()
+            seg_first = seg_first.copy()
+            seg_n[0] += cur_n
+            seg_first[0] = min(int(seg_first[0]), int(cur_first))
+        state.update(
+            (int(epochs[-1]), int(seg_sids[-1]), int(seg_n[-1]), int(seg_first[-1]))
+        )
         yield pd.DataFrame(
-            out, columns=["user_id", "session_id", "n_events", "first_event"]
+            {
+                "user_id": np.full(seg_sids.shape, user_id, dtype="int64"),
+                "session_id": seg_sids,
+                "n_events": seg_n,
+                "first_event": seg_first,
+            }
         )
 
     return (
