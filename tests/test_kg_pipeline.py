@@ -315,6 +315,29 @@ def test_multimodal_resize_and_features(spark):
     assert all(sum(x.features) == lens[x.doc_id].n for x in c10)
 
 
+def test_documents_corpus_is_ascii(spark):
+    """The multimodal_frame_sample DuckDB oracle compares VARCHAR-substring
+    windows against the Spark side's BYTE windows — identical only while
+    byte offsets == character offsets, i.e. the documents text is pure
+    ASCII.  Assert that precondition across every shipped sf dir so a
+    future non-ASCII corpus fails loudly here instead of silently
+    diverging the oracle (queries/multimodal.py frame-sample entry)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        docs = spark.read.parquet(path)
+        # ASCII iff the utf-8 byte length equals the character length
+        non_ascii = docs.filter(
+            F.octet_length("text") != F.length("text")
+        ).count()
+        assert non_ascii == 0, f"{sf}: {non_ascii} non-ASCII documents"
+
+
 def test_errors_table_resume_idempotent(spark, tmp_path):
     """Join-derived error rows (missing back-link targets, unresolvable
     page images) must appear in the errors side table even when the

@@ -40,6 +40,7 @@ def bench_kg_pipeline(spark, n: int | None = None) -> dict:
     out_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
     out = tempfile.mkdtemp(prefix="kgbench_", dir=out_base)
     src_dir = tempfile.mkdtemp(prefix="kgbenchsrc_", dir=out_base)
+    prev_split = None  # set below; finally must not NameError on early failure
     try:
         # materialize the source OUTSIDE the timed window and read it
         # back as a columnar scan — the engine's real input is a
@@ -84,8 +85,9 @@ def bench_kg_pipeline(spark, n: int | None = None) -> dict:
                 spark.conf.set("spark.sql.files.maxPartitionBytes", prev_split)
             else:
                 spark.conf.unset("spark.sql.files.maxPartitionBytes")
-        except Exception:
-            pass
+        except Exception as exc:  # noqa: BLE001 - a failed restore must be visible,
+            # not silently leave the session with a tiny scan split
+            print(f"WARN: could not restore maxPartitionBytes: {exc!r}", file=sys.stderr)
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(src_dir, ignore_errors=True)
 

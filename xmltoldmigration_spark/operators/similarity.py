@@ -255,17 +255,21 @@ def exact_cosine_pairs(
     The naive pair join evaluates an interpreted higher-order-function
     dot product per pair (no codegen for HOFs) — ~50x slower than BLAS.
     Vectors are tagged with a block id (n_blocks derived from an observed
-    count so a block holds <= `rows_per_block` rows no matter the data
-    size), every row is replicated to the upper-triangle block pairs it
-    participates in via an `explode(sequence(...))`, and one
-    `applyInPandas` group per block pair computes the cosine submatrix
-    with a normalized matmul.  No row ever holds more than one vector —
-    the old shape packed a whole block into a single `collect_list` row,
-    which grows O(n) and hits Spark's 2 GB row/Arrow limits at ~100x.
-    Per-task memory is bounded: 2*rows_per_block vectors plus a
-    rows_per_block^2 float submatrix (~33 MB at 2048).  Shuffle volume is
-    O(n * n_blocks) = O(n^2 / rows_per_block) — inherent to exact
-    all-pairs; the LSH-bucketed path (lsh_bucket_topk) is the
+    count so a block holds ~`rows_per_block` rows in expectation —
+    hash-mod blocking concentrates only under adversarial id collisions,
+    so treat the ~33 MB figure below as the expected, not worst-case,
+    per-task ceiling), every row is replicated to the upper-triangle
+    block pairs it participates in via one `explode` of its combined
+    side-A/side-B assignment list (a single evaluation of `df`, so a
+    nondeterministic upstream plan cannot yield inconsistent sides), and
+    one `applyInPandas` group per block pair computes the cosine
+    submatrix with a normalized matmul.  No row ever holds more than one
+    vector — the old shape packed a whole block into a single
+    `collect_list` row, which grows O(n) and hits Spark's 2 GB row/Arrow
+    limits at ~100x.  Expected per-task memory: 2*rows_per_block vectors
+    plus a rows_per_block^2 float submatrix (~33 MB at 2048).  Shuffle
+    volume is O(n * n_blocks) = O(n^2 / rows_per_block) — inherent to
+    exact all-pairs; the LSH-bucketed path (lsh_bucket_topk) is the
     subquadratic one.  Each emitted pair is oriented (min_id, max_id),
     cosine rounded to 3 decimals (cross-engine float noise ~1e-7).
     """
@@ -287,20 +291,26 @@ def exact_cosine_pairs(
         # sharded allocators handing out k*1000 ids)
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
     )
-    # block g serves as side A of pairs (g, j>=g) and side B of (i<=g, g)
-    side_a = tagged.select(
-        "id", "vec",
-        F.col("blk").alias("pa"),
-        F.explode(F.sequence(F.col("blk"), F.lit(n_blocks - 1))).alias("pb"),
-        F.lit("a").alias("side"),
+    # block g serves as side A of pairs (g, j>=g) and side B of (i<=g, g);
+    # both assignment lists are built on the SAME row and exploded once,
+    # so df is evaluated a single time for the replication pass
+    assign = F.concat(
+        F.transform(
+            F.sequence(F.col("blk"), F.lit(n_blocks - 1)),
+            lambda j: F.struct(
+                F.col("blk").alias("pa"), j.alias("pb"), F.lit("a").alias("side")
+            ),
+        ),
+        F.transform(
+            F.sequence(F.lit(0), F.col("blk")),
+            lambda i: F.struct(
+                i.alias("pa"), F.col("blk").alias("pb"), F.lit("b").alias("side")
+            ),
+        ),
     )
-    side_b = tagged.select(
-        "id", "vec",
-        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("pa"),
-        F.col("blk").alias("pb"),
-        F.lit("b").alias("side"),
+    rep = tagged.select("id", "vec", F.explode(assign).alias("t")).select(
+        "id", "vec", "t.pa", "t.pb", "t.side"
     )
-    rep = side_a.unionByName(side_b)
 
     def compute(key, pdf):
         import numpy as np

@@ -252,4 +252,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xmltoldmigration_spark.operators.similarity import exact_cosine_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
-    return exact_cosine_pairs(e, COSINE_THRESHOLD)
+    # parquet count() is metadata-only; passing it spares the operator an
+    # extra evaluation of the input plan to size its block grid
+    return exact_cosine_pairs(e, COSINE_THRESHOLD, n_rows=e.count())

@@ -102,18 +102,35 @@ def kg_dangling_link_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PIPELINE_OUT: dict[tuple[str, int], str] = {}
 
 
-def _shared_pipeline_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _session_tmpdir(prefix: str) -> str:
+    """mkdtemp that is removed at interpreter exit (process-lifetime cache
+    dirs must not leak on disk across driver invocations)."""
+    import atexit
+    import shutil
     import tempfile
 
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+def _shared_pipeline_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xmltoldmigration_spark.plans.pipeline import Pipeline
 
     key = (spark.sparkContext.applicationId, _n_for(sf_dir))
     fresh = key not in _PIPELINE_OUT
     if fresh:
-        _PIPELINE_OUT[key] = tempfile.mkdtemp(prefix="kgq_")
+        _PIPELINE_OUT[key] = _session_tmpdir("kgq_")
     out = _PIPELINE_OUT[key]
-    # resume=True on a warm dir just re-reads the final stage's parquet
-    return Pipeline(spark, out).run(_src(spark, sf_dir), resume=not fresh)
+    try:
+        # resume=True on a warm dir just re-reads the final stage's parquet
+        return Pipeline(spark, out).run(_src(spark, sf_dir), resume=not fresh)
+    except Exception:
+        # A failed first run must not be cached as "warm": a later caller
+        # would silently resume from a half-written dir.
+        if fresh:
+            _PIPELINE_OUT.pop(key, None)
+        raise
 
 
 @register(
@@ -142,6 +159,11 @@ def kg_title_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The synthetic TTL corpus is a pure function of n_works, so one dir per
+# size serves every invocation in the process (mirrors _PIPELINE_OUT).
+_RKTS_DIRS: dict[int, str] = {}
+
+
 @register(
     "kg_rkts_transfer",
     oracle=None,
@@ -150,15 +172,17 @@ def kg_title_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 def kg_rkts_transfer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TTL parsing is non-SQL -> rows-only.  Deterministic: the synthetic
     TTL directory is a pure function of its generator parameters."""
-    import tempfile
-
     from xmltoldmigration_spark.kg.transfers.rkts import (
         rkts_parsed,
         write_synthetic_ttl_dir,
     )
 
-    d = tempfile.mkdtemp(prefix="rkts_")
-    write_synthetic_ttl_dir(d, n_works=max(10, _n_for(sf_dir) // 20))
+    n_works = max(10, _n_for(sf_dir) // 20)
+    d = _RKTS_DIRS.get(n_works)
+    if d is None:
+        d = _session_tmpdir("rkts_")
+        write_synthetic_ttl_dir(d, n_works=n_works)
+        _RKTS_DIRS[n_works] = d
     parsed = rkts_parsed(spark, d)
     return (
         parsed.groupBy("stream", "graph")

@@ -53,8 +53,9 @@ def multimodal_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_frame_sample",
     # The deterministic decoder stand-in (md5 of consecutive 64-byte
     # windows) IS SQL over an ASCII corpus: byte offsets == character
-    # offsets (asserted for the shipped testdata), so VARCHAR substring
-    # windows hash identically to the Spark side's byte windows.
+    # offsets (asserted by tests/test_kg_pipeline.py::
+    # test_documents_corpus_is_ascii over every shipped sf dir), so VARCHAR
+    # substring windows hash identically to the Spark side's byte windows.
     oracle="""
     WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents)
     SELECT doc_id, CAST(i AS INT) AS frame_idx,
