@@ -200,86 +200,112 @@ class Pipeline:
         # each `.distinct()` re-executed the whole join chain (3 extra
         # full-chain runs per pipeline).  localCheckpoint materializes
         # the small list on first use.
+        cores = self.spark.sparkContext.defaultParallelism
+        # eager at >=4 cores: the side-table jobs run CONCURRENTLY with
+        # the main graph write there (see below), and two threads racing
+        # to materialize one lazy checkpoint would compute it twice
         graphs = (
-            streams["triples"].select("graph").distinct().localCheckpoint(eager=False)
+            streams["triples"].select("graph").distinct()
+            .localCheckpoint(eager=cores >= 4)
         )
 
-        if materialize == "all":
-            # stage 2: LINK (J1 runtime redirects + J13 admin propagation
-            # + J14 etext back-links — same chain as the fused path)
-            if resume and self._done("linked"):
-                triples = self._read_stage("linked")
-            else:
-                linked = self._link(streams)
-                linked = self._propagate_work_admin(linked, streams, graphs)
-                linked = self._etext_backlinks(linked, streams, graphs)
-                linked = self._resolve_etext_pages(linked, streams)
-                triples = self._write_stage("linked", linked)
-            # stage 3: SYMMETRIC COMPLETION (A1)
-            if resume and self._done("completed"):
-                triples = self._read_stage("completed")
-            else:
-                triples = self._write_stage(
-                    "completed",
-                    self._complete_symmetric(triples, streams["symmetric"], graphs),
-                )
-            # stage 4: CANONICALIZE (G1/G2)
-            if resume and self._done("canonical"):
-                triples = self._read_stage("canonical")
-            else:
-                triples = self._write_stage("canonical", self._canonicalize(triples))
-            # stage 5: WRITE final graph table
-            if resume and self._done("graph"):
-                final = self._read_stage("graph")
-            else:
-                final = self._write_stage(
+        def _run_main() -> DataFrame:
+            if materialize == "all":
+                # stage 2: LINK (J1 runtime redirects + J13 admin
+                # propagation + J14 etext back-links — same chain as the
+                # fused path)
+                if resume and self._done("linked"):
+                    triples = self._read_stage("linked")
+                else:
+                    linked = self._link(streams)
+                    linked = self._propagate_work_admin(linked, streams, graphs)
+                    linked = self._etext_backlinks(linked, streams, graphs)
+                    linked = self._resolve_etext_pages(linked, streams)
+                    triples = self._write_stage("linked", linked)
+                # stage 3: SYMMETRIC COMPLETION (A1)
+                if resume and self._done("completed"):
+                    triples = self._read_stage("completed")
+                else:
+                    triples = self._write_stage(
+                        "completed",
+                        self._complete_symmetric(triples, streams["symmetric"], graphs),
+                    )
+                # stage 4: CANONICALIZE (G1/G2)
+                if resume and self._done("canonical"):
+                    triples = self._read_stage("canonical")
+                else:
+                    triples = self._write_stage("canonical", self._canonicalize(triples))
+                # stage 5: WRITE final graph table
+                if resume and self._done("graph"):
+                    return self._read_stage("graph")
+                return self._write_stage(
                     "graph",
                     self._finalize(triples, streams["triples"]),
                     partition_by=["type_part"],
                 )
-        else:
             if resume and self._done("graph"):
-                final = self._read_stage("graph")
-            else:
-                from pyspark.sql import Observation
+                return self._read_stage("graph")
+            from pyspark.sql import Observation
 
-                triples = self._link(streams)
-                triples = self._propagate_work_admin(triples, streams, graphs)
-                triples = self._etext_backlinks(triples, streams, graphs)
-                triples = self._resolve_etext_pages(triples, streams)
-                obs_link = Observation("linked")
-                triples = triples.observe(obs_link, F.count(F.lit(1)).alias("rows"))
-                triples = self._complete_symmetric(triples, streams["symmetric"], graphs)
-                obs_sym = Observation("completed")
-                triples = triples.observe(obs_sym, F.count(F.lit(1)).alias("rows"))
-                triples = self._canonicalize(triples)
-                final = self._write_stage(
-                    "graph",
-                    self._finalize(triples, streams["triples"]),
-                    partition_by=["type_part"],
-                )
-                for name, obs in (("linked", obs_link), ("completed", obs_sym)):
-                    with open(self.out / "_lineage" / f"{name}.json", "w") as f:
-                        json.dump({"stage": name, "rows": obs.get["rows"],
-                                   "fused": True}, f)
+            triples = self._link(streams)
+            triples = self._propagate_work_admin(triples, streams, graphs)
+            triples = self._etext_backlinks(triples, streams, graphs)
+            triples = self._resolve_etext_pages(triples, streams)
+            obs_link = Observation("linked")
+            triples = triples.observe(obs_link, F.count(F.lit(1)).alias("rows"))
+            triples = self._complete_symmetric(triples, streams["symmetric"], graphs)
+            obs_sym = Observation("completed")
+            triples = triples.observe(obs_sym, F.count(F.lit(1)).alias("rows"))
+            triples = self._canonicalize(triples)
+            final = self._write_stage(
+                "graph",
+                self._finalize(triples, streams["triples"]),
+                partition_by=["type_part"],
+            )
+            for name, obs in (("linked", obs_link), ("completed", obs_sym)):
+                with open(self.out / "_lineage" / f"{name}.json", "w") as f:
+                    json.dump({"stage": name, "rows": obs.get["rows"],
+                               "fused": True}, f)
+            return final
 
-        # side tables (errors / dangling links) — small, written last,
-        # SEQUENTIALLY: a concurrent-thread variant was measured at
-        # n=400k/local[1] and inflated the three writes ~6x (347 s e2e vs
-        # 267 s — interleaved small jobs thrash the single-JVM scheduler
-        # and page cache), while at local[4] the overlap gain was inside
-        # run-to-run noise.  join-derived error rows come from
-        # _error_sides, which depends only on the parse output — so a
-        # resumed run writes the SAME errors table as a fresh one.
+        # side tables (errors / dangling links / imagegroup conflicts):
+        # independent of the triple chain — they derive from the parse
+        # output alone, so a resumed run writes the SAME tables as a
+        # fresh one.  At >= 4 cores they are SUBMITTED CONCURRENTLY with
+        # the main graph write (a multi-tenant scheduler fills the main
+        # job's straggler/single-partition gaps with their tiny tasks —
+        # on a cluster these would be parallel job submissions from the
+        # driver for the same reason).  At 1-2 cores they stay
+        # sequential: a concurrent variant was measured at n=400k/
+        # local[1] and inflated the three writes ~6x (347 s e2e vs
+        # 267 s — interleaved small jobs thrash a single-threaded
+        # scheduler and page cache).
+        side_thunks = []
         if not (resume and self._done("errors")):
-            self._write_stage(
+            side_thunks.append(lambda: self._write_stage(
                 "errors",
                 streams["errors"].unionByName(self._error_sides(streams, graphs)),
-            )
+            ))
         if not (resume and self._done("dangling")):
-            self._write_stage("dangling", self._dangling(streams))
+            side_thunks.append(
+                lambda: self._write_stage("dangling", self._dangling(streams)))
         if not (resume and self._done("conflicts")):
-            self._write_stage("conflicts", self._imagegroup_conflicts(streams))
+            side_thunks.append(
+                lambda: self._write_stage("conflicts", self._imagegroup_conflicts(streams)))
+
+        if cores >= 4 and side_thunks:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1 + len(side_thunks)) as ex:
+                f_main = ex.submit(_run_main)
+                f_sides = [ex.submit(t) for t in side_thunks]
+                final = f_main.result()
+                for f in f_sides:
+                    f.result()
+        else:
+            final = _run_main()
+            for t in side_thunks:
+                t()
         return final
 
     def _link(self, streams: dict) -> DataFrame:
