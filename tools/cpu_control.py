@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Host-speed control probes for the scaling methodology (BENCH.md).
+
+The sandbox VM's effective CPU speed swings 1.5-1.8x across hours (shared
+hypervisor), so every scaling leg (tools/scaling_bench.py) is bracketed by
+a single-core control, and the N-vs-4N ratio is taken from best-of-k legs
+in quiet windows (control ~ its observed floor).  This tool provides:
+
+  python tools/cpu_control.py            # single-core control (seconds)
+  python tools/cpu_control.py --procs 4  # N concurrent controls: hardware's
+                                         # own parallel capacity at N procs
+                                         # (per-proc times + max)
+
+The parallel mode measures the BOX, not the code: if per-proc time at N
+inflates over the single-proc time, that inflation is the hardware ceiling
+for any N-wide job and bounds the achievable scaling efficiency (round 3:
+32 procs ran 3.4x/4 vs 8 on this VM, so the 8->32 pair measures the box).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+
+_LOOP = (
+    "import time\n"
+    "t0 = time.perf_counter()\n"
+    "x = 0\n"
+    "for i in range(3_000_000):\n"
+    "    x += i * i\n"
+    "print(round(time.perf_counter() - t0, 3))\n"
+)
+
+
+def single() -> float:
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(3_000_000):
+        x += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
+def parallel(n: int) -> dict:
+    t0 = time.perf_counter()
+    ps = [
+        subprocess.Popen([sys.executable, "-c", _LOOP], stdout=subprocess.PIPE)
+        for _ in range(n)
+    ]
+    per = [float(p.communicate()[0]) for p in ps]
+    return {
+        "procs": n,
+        "per_proc": per,
+        "max": max(per),
+        "mean": round(sum(per) / n, 3),
+        "wall": round(time.perf_counter() - t0, 3),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--procs", type=int, default=1)
+    args = ap.parse_args()
+    if args.procs <= 1:
+        print(json.dumps({"procs": 1, "ctl": single()}))
+    else:
+        print(json.dumps(parallel(args.procs)))
+
+
+if __name__ == "__main__":
+    main()
