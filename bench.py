@@ -72,9 +72,47 @@ def run_queries(spark, names: list[str]) -> dict[str, float]:
     return out
 
 
+def _host_ctl() -> float:
+    """Single-core CPU control (tools/cpu_control.py): this VM's effective
+    speed swings 1.5-2x across hours, so the bench JSON carries the host
+    window it ran in — cross-round comparisons must normalize by it."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(3_000_000):
+        x += i * i
+    return round(time.perf_counter() - t0, 3)
+
+
+def _mem_ctl(procs: int) -> float:
+    """Parallel memory-streaming control: mean per-proc seconds for a
+    128 MB copy loop run CPUS-wide.  The single-core control misses
+    memory-bandwidth saturation entirely, and that is the dimension this
+    VM degrades hardest (round 4 measured 5.5x per-proc inflation at 32
+    streams in a window where the integer loop inflated only 1.4x) —
+    which is what throttles the 32-wide Arrow/BLAS-heavy queries here."""
+    import subprocess
+
+    code = (
+        "import time, numpy as np\n"
+        "a = np.arange(8_000_000, dtype=np.int64)\n"
+        "t0 = time.perf_counter()\n"
+        "s = 0\n"
+        "for _ in range(2):\n"
+        "    b = a.copy(); s += int(b[-1])\n"
+        "print(round(time.perf_counter() - t0, 3))\n"
+    )
+    ps = [
+        subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE)
+        for _ in range(procs)
+    ]
+    per = [float(p.communicate()[0]) for p in ps]
+    return round(sum(per) / len(per), 3)
+
+
 def main() -> None:
     from xmltoldmigration_spark.session import get_spark
 
+    ctl_before = _host_ctl()
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]")
     # warm the JVM/parquet footers so per-query numbers measure the queries
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
@@ -103,6 +141,8 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
+        "host_ctl_s": [ctl_before, _host_ctl()],
+        "mem_ctl_s": _mem_ctl(int(CPUS)),
         **kg_extra,
     }
     print(json.dumps(result))

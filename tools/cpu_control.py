@@ -34,6 +34,22 @@ _LOOP = (
     "print(round(time.perf_counter() - t0, 3))\n"
 )
 
+# memory-streaming control: the integer loop above runs out of registers/L1
+# and misses memory-bandwidth saturation entirely — but the parse stage
+# (lxml strings through Arrow) is bandwidth-bound, so when N-wide pipeline
+# legs degrade beyond what _LOOP predicts, THIS control shows whether the
+# box's memory system is the binding constraint (round 4: 32-wide parse ran
+# 3x slower than 8-wide while _LOOP inflated only 1.4x)
+_MEMLOOP = (
+    "import time, numpy as np\n"
+    "a = np.arange(32_000_000, dtype=np.int64)\n"
+    "t0 = time.perf_counter()\n"
+    "s = 0\n"
+    "for _ in range(8):\n"
+    "    b = a.copy(); s += int(b[-1])\n"
+    "print(round(time.perf_counter() - t0, 3))\n"
+)
+
 
 def single() -> float:
     t0 = time.perf_counter()
@@ -43,15 +59,17 @@ def single() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def parallel(n: int) -> dict:
+def parallel(n: int, mem: bool = False) -> dict:
     t0 = time.perf_counter()
+    code = _MEMLOOP if mem else _LOOP
     ps = [
-        subprocess.Popen([sys.executable, "-c", _LOOP], stdout=subprocess.PIPE)
+        subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE)
         for _ in range(n)
     ]
     per = [float(p.communicate()[0]) for p in ps]
     return {
         "procs": n,
+        "kind": "mem" if mem else "cpu",
         "per_proc": per,
         "max": max(per),
         "mean": round(sum(per) / n, 3),
@@ -62,11 +80,13 @@ def parallel(n: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--procs", type=int, default=1)
+    ap.add_argument("--mem", action="store_true",
+                    help="memory-streaming control instead of the integer loop")
     args = ap.parse_args()
-    if args.procs <= 1:
+    if args.procs <= 1 and not args.mem:
         print(json.dumps({"procs": 1, "ctl": single()}))
     else:
-        print(json.dumps(parallel(args.procs)))
+        print(json.dumps(parallel(max(args.procs, 1), mem=args.mem)))
 
 
 if __name__ == "__main__":

@@ -90,7 +90,8 @@ class Pipeline:
     def _done(self, name: str) -> bool:
         return (self._stage_dir(name) / "_DONE").exists()
 
-    def _write_stage(self, name: str, df: DataFrame, partition_by: list[str] | None = None):
+    def _write_stage(self, name: str, df: DataFrame, partition_by: list[str] | None = None,
+                     co_scheduled: bool = False):
         t0 = time.time()
         path = str(self._stage_dir(name))
         # lineage metrics ride along with the write via observe() — row
@@ -136,6 +137,12 @@ class Pipeline:
             "wall_s": round(time.time() - t0, 3),
             "partitions": per_file,
         }
+        # side stages submitted concurrently with the main graph write:
+        # wall_s is ELAPSED under core-sharing (includes scheduler wait),
+        # not the stage's exclusive cost — mark it so lineage consumers
+        # don't read co-scheduled elapsed time as per-stage work
+        if co_scheduled:
+            lineage["co_scheduled"] = True
         # At cluster scale a stage writes thousands of files; the per-file
         # list keeps the first 512 but the truncation is MARKED (total file
         # count + remainder row sum) so lineage consumers never mistake the
@@ -280,18 +287,20 @@ class Pipeline:
         # local[1] and inflated the three writes ~6x (347 s e2e vs
         # 267 s — interleaved small jobs thrash a single-threaded
         # scheduler and page cache).
+        co = cores >= 4
         side_thunks = []
         if not (resume and self._done("errors")):
             side_thunks.append(lambda: self._write_stage(
                 "errors",
                 streams["errors"].unionByName(self._error_sides(streams, graphs)),
+                co_scheduled=co,
             ))
         if not (resume and self._done("dangling")):
-            side_thunks.append(
-                lambda: self._write_stage("dangling", self._dangling(streams)))
+            side_thunks.append(lambda: self._write_stage(
+                "dangling", self._dangling(streams), co_scheduled=co))
         if not (resume and self._done("conflicts")):
-            side_thunks.append(
-                lambda: self._write_stage("conflicts", self._imagegroup_conflicts(streams)))
+            side_thunks.append(lambda: self._write_stage(
+                "conflicts", self._imagegroup_conflicts(streams), co_scheduled=co))
 
         if cores >= 4 and side_thunks:
             from concurrent.futures import ThreadPoolExecutor
