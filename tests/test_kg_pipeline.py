@@ -66,6 +66,18 @@ def test_pipeline_resume(spark, fixture_out):
     assert {"parsed", "linked", "completed", "graph"} <= stages
 
 
+def test_side_stages_marked_co_scheduled(fixture_out):
+    """At >= 4 cores (tests run local[8]) the side tables are submitted
+    concurrently with the main graph write, so their lineage wall_s is
+    elapsed-under-sharing — the co_scheduled marker must be present so
+    lineage consumers don't read it as exclusive stage cost."""
+    _, pipe, _ = fixture_out
+    rows = {r["stage"]: r for r in pipe.lineage()}
+    for stage in ("errors", "dangling", "conflicts"):
+        assert rows[stage].get("co_scheduled") is True, stage
+    assert "co_scheduled" not in rows["graph"]
+
+
 def test_lineage_truncation_marked(spark, tmp_path):
     """A >512-file stage write must mark truncation in the lineage JSON
     (total file count + row sum of the unlisted remainder) so per-file
