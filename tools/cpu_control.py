@@ -59,9 +59,20 @@ def single() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-def parallel(n: int, mem: bool = False) -> dict:
+_MEMLOOP_SMALL = (
+    "import time, numpy as np\n"
+    "a = np.arange(8_000_000, dtype=np.int64)\n"
+    "t0 = time.perf_counter()\n"
+    "s = 0\n"
+    "for _ in range(2):\n"
+    "    b = a.copy(); s += int(b[-1])\n"
+    "print(round(time.perf_counter() - t0, 3))\n"
+)
+
+
+def parallel(n: int, mem: bool = False, small: bool = False) -> dict:
     t0 = time.perf_counter()
-    code = _MEMLOOP if mem else _LOOP
+    code = (_MEMLOOP_SMALL if small else _MEMLOOP) if mem else _LOOP
     ps = [
         subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE)
         for _ in range(n)

@@ -98,10 +98,18 @@ def main() -> None:
             r["rows"] for r in pipe.lineage() if r["stage"] == "graph"
         )
         wall = time.perf_counter() - t0
+        # self-bracketing controls (AFTER the timed window): scalar CPU and
+        # memory-bandwidth windows proved INDEPENDENT on this VM (round 4:
+        # scalar at its floor while 4-stream bandwidth ran ~100x inflated),
+        # so a leg is only comparable to another leg when BOTH match
+        from tools.cpu_control import parallel, single
+
         print(json.dumps({
             "cpus": args.cpus, "wall_s": round(wall, 3), "triples": triples,
             "src": args.src,
             "stages": {r["stage"]: r.get("wall_s", "fused") for r in pipe.lineage()},
+            "ctl_cpu_s": single(),
+            "ctl_mem_s": parallel(min(args.cpus, 8), mem=True, small=True)["mean"],
         }))
     finally:
         shutil.rmtree(out, ignore_errors=True)
