@@ -34,41 +34,54 @@ TYPE_NS = {
 }
 
 
+_DISPATCH: dict | None = None
+
+
+def _dispatch_table() -> dict:
+    """Built once per process (the parse UDF calls migrate_record per
+    record — a fresh import + dict build per call cost ~3 % of the parse
+    stage); imports stay function-local to keep package import light."""
+    global _DISPATCH
+    if _DISPATCH is None:
+        from xmltoldmigration_spark.kg.migrators import (
+            corporation,
+            lineage,
+            office,
+            outline,
+            person,
+            place,
+            etext,
+            imagegroup,
+            product,
+            pubinfo,
+            taxonomy,
+            topic,
+            work,
+        )
+
+        _DISPATCH = {
+            "person": person.migrate,
+            "topic": topic.migrate,
+            "office": office.migrate,
+            "corporation": corporation.migrate,
+            "place": place.migrate,
+            "lineage": lineage.migrate,
+            "work": work.migrate,
+            "outline": outline.migrate,
+            "product": product.migrate,
+            "pubinfo": pubinfo.migrate,
+            "imagegroup": imagegroup.migrate,
+            "etext": etext.migrate,
+            "taxonomy": taxonomy.migrate,
+        }
+    return _DISPATCH
+
+
 def migrate_record(rtype: str, content: str, ctx: Ctx):
     """Dispatch one XML record to its migrator (MigrationHelpers.xmlToRdf:700-741)."""
-    from xmltoldmigration_spark.kg.migrators import (
-        corporation,
-        lineage,
-        office,
-        outline,
-        person,
-        place,
-        etext,
-        imagegroup,
-        product,
-        pubinfo,
-        taxonomy,
-        topic,
-        work,
-    )
-
+    dispatch = _dispatch_table()
     root = ET.fromstring(content)
     ctx.result.status = root.get("status", "")
-    dispatch = {
-        "person": person.migrate,
-        "topic": topic.migrate,
-        "office": office.migrate,
-        "corporation": corporation.migrate,
-        "place": place.migrate,
-        "lineage": lineage.migrate,
-        "work": work.migrate,
-        "outline": outline.migrate,
-        "product": product.migrate,
-        "pubinfo": pubinfo.migrate,
-        "imagegroup": imagegroup.migrate,
-        "etext": etext.migrate,
-        "taxonomy": taxonomy.migrate,
-    }
     if rtype == "scanrequest":
         # "scanrequests don't hold any kind of information"
         # (MigrationApp.java:773-774; ScanrequestMigration.java:44-55)
