@@ -73,14 +73,13 @@ def run_queries(spark, names: list[str]) -> dict[str, float]:
 
 
 def _host_ctl() -> float:
-    """Single-core CPU control (tools/cpu_control.py): this VM's effective
-    speed swings 1.5-2x across hours, so the bench JSON carries the host
-    window it ran in — cross-round comparisons must normalize by it."""
-    t0 = time.perf_counter()
-    x = 0
-    for i in range(3_000_000):
-        x += i * i
-    return round(time.perf_counter() - t0, 3)
+    """Single-core CPU control: this VM's effective speed swings 1.5-2x
+    across hours, so the bench JSON carries the host window it ran in —
+    cross-round comparisons must normalize by it.  Shared with the scaling
+    legs via tools/cpu_control.py so the two probes can't drift."""
+    from tools.cpu_control import single
+
+    return single()
 
 
 def _mem_ctl(procs: int) -> float:
@@ -89,25 +88,15 @@ def _mem_ctl(procs: int) -> float:
     memory-bandwidth saturation entirely, and that is the dimension this
     VM degrades hardest (round 4 measured 5.5x per-proc inflation at 32
     streams in a window where the integer loop inflated only 1.4x) —
-    which is what throttles the 32-wide Arrow/BLAS-heavy queries here."""
-    import subprocess
+    which is what throttles the 32-wide Arrow/BLAS-heavy queries here.
+    Same probe as tools/cpu_control.py --mem (small) so BENCH.md numbers
+    normalize across rounds.  Called AFTER spark.stop(): 32 children x
+    ~190 MB transient next to a resident 100 GiB-heap JVM risks the OOM
+    killer taking out the bench after its measurements."""
+    from tools.cpu_control import parallel
 
-    code = (
-        "import time, numpy as np\n"
-        "a = np.arange(8_000_000, dtype=np.int64)\n"
-        "t0 = time.perf_counter()\n"
-        "s = 0\n"
-        "for _ in range(2):\n"
-        "    b = a.copy(); s += int(b[-1])\n"
-        "print(round(time.perf_counter() - t0, 3))\n"
-    )
     try:
-        ps = [
-            subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE)
-            for _ in range(procs)
-        ]
-        per = [float(p.communicate()[0]) for p in ps]
-        return round(sum(per) / len(per), 3)
+        return parallel(procs, mem=True, small=True)["mean"]
     except Exception:
         # the control is context, never a reason for the bench to fail
         return -1.0
@@ -137,6 +126,8 @@ def main() -> None:
     times = run_queries(spark, HEADLINE)
     total = round(time.perf_counter() - t0, 3)
 
+    ctl_after = _host_ctl()
+    spark.stop()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     result = {
         "metric": "headline_queries_total",
@@ -145,12 +136,11 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": CPUS,
-        "host_ctl_s": [ctl_before, _host_ctl()],
+        "host_ctl_s": [ctl_before, ctl_after],
         "mem_ctl_s": _mem_ctl(int(CPUS)),
         **kg_extra,
     }
     print(json.dumps(result))
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -66,15 +66,19 @@ def test_pipeline_resume(spark, fixture_out):
     assert {"parsed", "linked", "completed", "graph"} <= stages
 
 
-def test_side_stages_marked_co_scheduled(fixture_out):
-    """At >= 4 cores (tests run local[8]) the side tables are submitted
-    concurrently with the main graph write, so their lineage wall_s is
-    elapsed-under-sharing — the co_scheduled marker must be present so
-    lineage consumers don't read it as exclusive stage cost."""
+def test_side_stages_marked_co_scheduled(fixture_out, spark):
+    """At >= 4 cores the side tables are submitted concurrently with the
+    main graph write, so their lineage wall_s is elapsed-under-sharing —
+    the co_scheduled marker must be present (and absent below 4 cores,
+    where the pipeline takes the sequential path) so lineage consumers
+    don't read it as exclusive stage cost.  The expectation is derived
+    from the session's actual parallelism rather than hard-coding the
+    conftest master, so lowering the fixture doesn't fail opaquely."""
     _, pipe, _ = fixture_out
+    expect_co = spark.sparkContext.defaultParallelism >= 4
     rows = {r["stage"]: r for r in pipe.lineage()}
     for stage in ("errors", "dangling", "conflicts"):
-        assert rows[stage].get("co_scheduled") is True, stage
+        assert rows[stage].get("co_scheduled", False) is expect_co, stage
     assert "co_scheduled" not in rows["graph"]
 
 

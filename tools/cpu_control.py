@@ -77,7 +77,15 @@ def parallel(n: int, mem: bool = False, small: bool = False) -> dict:
         subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE)
         for _ in range(n)
     ]
-    per = [float(p.communicate()[0]) for p in ps]
+    try:
+        per = [float(p.communicate()[0]) for p in ps]
+    finally:
+        # if one child's output fails to parse mid-loop, don't abandon the
+        # remaining Popen handles (they'd keep burning CPU/memory)
+        for p in ps:
+            if p.poll() is None:
+                p.kill()
+            p.wait()
     return {
         "procs": n,
         "kind": "mem" if mem else "cpu",

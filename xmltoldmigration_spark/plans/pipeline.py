@@ -208,12 +208,20 @@ class Pipeline:
         # full-chain runs per pipeline).  localCheckpoint materializes
         # the small list on first use.
         cores = self.spark.sparkContext.defaultParallelism
-        # eager at >=4 cores: the side-table jobs run CONCURRENTLY with
-        # the main graph write there (see below), and two threads racing
-        # to materialize one lazy checkpoint would compute it twice
+        # eager ONLY when side-table jobs will actually run CONCURRENTLY
+        # with the main graph write (>=4 cores AND at least one side stage
+        # pending): two threads racing to materialize one lazy checkpoint
+        # would compute it twice.  On a fully-warm resume (graph + all
+        # sides done) nothing consumes `graphs`, so an unconditional eager
+        # checkpoint would pay a full distinct-over-parse job per call —
+        # measured as the dominant per-query cost of warm kg bench runs.
+        sides_pending = [
+            s for s in ("errors", "dangling", "conflicts")
+            if not (resume and self._done(s))
+        ]
         graphs = (
             streams["triples"].select("graph").distinct()
-            .localCheckpoint(eager=cores >= 4)
+            .localCheckpoint(eager=cores >= 4 and bool(sides_pending))
         )
 
         def _run_main() -> DataFrame:
@@ -288,19 +296,18 @@ class Pipeline:
         # 267 s — interleaved small jobs thrash a single-threaded
         # scheduler and page cache).
         co = cores >= 4
-        side_thunks = []
-        if not (resume and self._done("errors")):
-            side_thunks.append(lambda: self._write_stage(
+        side_builders = {
+            "errors": lambda: self._write_stage(
                 "errors",
                 streams["errors"].unionByName(self._error_sides(streams, graphs)),
                 co_scheduled=co,
-            ))
-        if not (resume and self._done("dangling")):
-            side_thunks.append(lambda: self._write_stage(
-                "dangling", self._dangling(streams), co_scheduled=co))
-        if not (resume and self._done("conflicts")):
-            side_thunks.append(lambda: self._write_stage(
-                "conflicts", self._imagegroup_conflicts(streams), co_scheduled=co))
+            ),
+            "dangling": lambda: self._write_stage(
+                "dangling", self._dangling(streams), co_scheduled=co),
+            "conflicts": lambda: self._write_stage(
+                "conflicts", self._imagegroup_conflicts(streams), co_scheduled=co),
+        }
+        side_thunks = [side_builders[s] for s in sides_pending]
 
         if cores >= 4 and side_thunks:
             from concurrent.futures import ThreadPoolExecutor
