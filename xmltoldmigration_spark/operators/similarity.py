@@ -1,9 +1,10 @@
 """Similarity search over embedding columns (array<float>).
 
-- brute_force_topk: exact cosine top-k — broadcast the (small) query set
-  against the full corpus; the dot product stays JVM-side via
-  zip_with/aggregate (no Python in the hot path). At 100 TB the corpus side
-  streams partition-parallel; only the query set is broadcast.
+- brute_force_topk: exact cosine top-k — the (small) query matrix ships in
+  the task closure and the corpus streams through one shuffle-free
+  mapInPandas BLAS pass emitting batch-local top-k candidates. At 100 TB
+  the corpus side stays partition-parallel; only the query set is
+  collected (gated).
 - lsh_topk: random-hyperplane LSH bucketing — queries only probe their own
   bucket (plus optional multi-probe), turning the scan into a bucket-local
   join. The hyperplanes are a deterministic md5-seeded matrix so results are
@@ -35,22 +36,88 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_queries: int = 100_000,
 ) -> DataFrame:
-    """DataFrame[query_id, neighbor_id, rk] — exact cosine top-k, self excluded."""
+    """DataFrame[query_id, neighbor_id, rk] — exact cosine top-k, self excluded.
+
+    Broadcast-query GEMM: the query matrix is collected driver-side (gated
+    at `max_queries` — the operator's contract is a broadcast-small query
+    set, the same bound the previous crossJoin(broadcast(q)) shape imposed
+    implicitly) and shipped in the task closure; the corpus streams through
+    ONE shuffle-free mapInPandas pass that scores each Arrow batch with a
+    float64 BLAS matmul and emits only the batch-local top-k per query.
+    Similarities quantize to 6 decimals BEFORE selection (the ivf_topk
+    precedent: BLAS summation order varies ~1e-7 with batch blocking, far
+    below any real margin), making (sim desc, neighbor_id asc) a strict,
+    partitioning-independent total order — so the union of batch-local
+    top-ks provably contains the global top-k, and the final window ranks
+    O(n_batches * |q| * k) candidate rows instead of |corpus| * |q| pairs.
+    Replaces the interpreted aggregate/zip_with fold (no codegen for HOFs;
+    exact_cosine_pairs measured that shape ~50x slower than BLAS)."""
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qv")
+        )
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"brute_force_topk: query set exceeds max_queries={max_queries}; "
+            "use ivf_topk/lsh_bucket_topk for table-sized query sides"
+        )
+    id_type = dict(corpus.dtypes)[id_col]
+    cand_schema = f"query_id {id_type}, neighbor_id {id_type}, sim double"
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+        F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("cv")
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", _cosine("qv", "cv"))
-    )
+    if not q_rows:
+        return (
+            c.limit(0)
+            .select(
+                F.col("nid").alias("query_id"),
+                F.col("nid").alias("neighbor_id"),
+                F.lit(1).alias("rk"),
+            )
+        )
+    qids = np.array([r["qid"] for r in q_rows])
+    Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    n_q = len(q_rows)
+
+    def score(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = _np.stack([_np.asarray(v, dtype=_np.float64) for v in pdf["cv"]])
+            Cn = C / _np.maximum(_np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+            sims = _np.round(Qn @ Cn.T, 6)  # (n_q, batch)
+            nids = pdf["nid"].to_numpy()
+            frames = []
+            for i in range(n_q):
+                idx = _np.nonzero(nids != qids[i])[0]  # self-exclusion
+                if not len(idx):
+                    continue
+                s = sims[i, idx]
+                # batch-local top-k under the SAME total order the final
+                # window uses (quantized sim desc, id asc); lexsort's last
+                # key is primary
+                top = idx[_np.lexsort((nids[idx], -s))][:k]
+                frames.append(
+                    _pd.DataFrame(
+                        {"query_id": qids[i], "neighbor_id": nids[top], "sim": sims[i, top]}
+                    )
+                )
+            if frames:
+                yield _pd.concat(frames, ignore_index=True)
+
+    cand = c.mapInPandas(score, schema=cand_schema)
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        cand.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "rk")
     )
