@@ -102,6 +102,77 @@ def test_simhash_deterministic_and_batch_consistent(texts):
         assert simhash64(t) == simhash64(t)
 
 
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_simhash_byte_hash_matches_pandas(tokens):
+    """_pd_hash_tokens (vectorized siphash24+splitmix64 over a concatenated
+    buffer) must be bit-identical to pandas.util.hash_array on the same
+    token strings — the contract that keeps the dedup_simhash golden
+    fixture unchanged across the byte-domain rewrite."""
+    import numpy as np
+    import pandas as pd
+
+    from xmltoldmigration_spark.operators.simhash import _pd_hash_tokens
+
+    buf = np.frombuffer((" ".join(tokens) + " ").encode(), dtype=np.uint8)
+    starts, lens, pos = [], [], 0
+    for t in tokens:
+        starts.append(pos)
+        lens.append(len(t))
+        pos += len(t) + 1
+    mine = _pd_hash_tokens(buf, np.array(starts), np.array(lens))
+    ref = pd.util.hash_array(np.array(tokens, dtype=object))
+    assert np.array_equal(mine, ref)
+
+
+@given(
+    st.lists(
+        st.text(
+            # printable ASCII + every ASCII char str.split() treats as
+            # whitespace (incl. the C0 separators \x1c-\x1f)
+            alphabet=st.characters(min_codepoint=0, max_codepoint=127),
+            min_size=0,
+            max_size=80,
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_simhash_ascii_path_equals_split_path(texts):
+    """The zero-object byte-domain tokenizer must reproduce str.split()
+    exactly on ASCII input (including runs of mixed whitespace, control
+    chars, empty and whitespace-only docs)."""
+    import numpy as np
+    import pandas as pd
+
+    from xmltoldmigration_spark.operators.simhash import _simhash_ascii, _simhash_values
+
+    a = _simhash_ascii(texts)
+    b = _simhash_values(pd.Series(texts, dtype=object).fillna("").str.split())
+    assert np.array_equal(a, b)
+
+
+def test_simhash_unicode_fallback_routes_to_split_path():
+    import numpy as np
+    import pandas as pd
+
+    from xmltoldmigration_spark.operators.simhash import _simhash_from_texts, _simhash_values
+
+    s = pd.Series(["héllo wörld", "plain ascii doc", " nbsp separated em"])
+    assert np.array_equal(_simhash_from_texts(s), _simhash_values(s.str.split()))
+
+
 def test_simhash_locality():
     from xmltoldmigration_spark.operators.simhash import hamming64, simhash64
 
