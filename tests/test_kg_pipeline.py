@@ -193,6 +193,77 @@ def test_malformed_records_degrade_to_error_rows(spark, tmp_path):
     assert "P9XOK" in graphs
 
 
+def _mega_outline_xml(n_nodes: int) -> str:
+    """One outline record expanding into n_nodes text nodes (the SURVEY
+    §7.3 mega-record skew case: a single XML record emitting 1e4-1e5
+    triples)."""
+    ns = "http://www.tbrc.org/models/outline#"
+    parts = [
+        f'<o:outline xmlns:o="{ns}" RID="O9MEGA0001" pagination="absolute" status="released">',
+        "<o:name>mega outline</o:name>",
+        '<o:isOutlineOf work="W9MEGA" type="collectedWorks">mega</o:isOutlineOf>',
+    ]
+    for i in range(n_nodes):
+        parts.append(
+            f'<o:node RID="O9MEGAN{i:06d}" type="text">'
+            f'<o:title encoding="extendedWylie" lang="tibetan" type="bibliographicalTitle">chos tshan {i}/</o:title>'
+            f'<o:location page="{i + 1}" vol="1" work="W9MEGA"/>'
+            "</o:node>"
+        )
+    parts.append("</o:outline>")
+    return "".join(parts)
+
+
+def test_mega_record_bounded_batches_and_batch_size_invariance(spark):
+    """Mega-record skew proof (SURVEY §7.3): a 10^4-node outline must
+
+    1. stream out of the parse stage in Arrow batches bounded by _CHUNK
+       rows — a single record may never produce one unbounded batch (the
+       per-batch memory spike that kills an executor at 100 TB), and
+    2. produce an IDENTICAL triple set whichever Arrow input batch size
+       delivers it (maxRecordsPerBatch 2 vs the 10k default), i.e. the
+       chunked yields are a pure streaming concern, invisible in the data.
+    """
+    import pyarrow as pa
+
+    from pyspark.sql import functions as F
+
+    from xmltoldmigration_spark.kg.parse import _CHUNK, _parse_batches, parse_src
+    from xmltoldmigration_spark.sources.corpus import SRC_SCHEMA, synthetic_rows_partition
+
+    mega = _mega_outline_xml(10_000)
+    rows = [("tbrc", "tbrc-outlines/O9MEGA0001.xml", "v1", "xml", mega)]
+    rows += list(synthetic_rows_partition(0, 20))
+
+    # 1. driver-side generator probe: every yielded batch is <= _CHUNK rows
+    rb = pa.RecordBatch.from_arrays(
+        [pa.array([r[1] for r in rows]), pa.array([r[4] for r in rows])],
+        names=["path", "content"],
+    )
+    sizes = [b.num_rows for b in _parse_batches([rb])]
+    assert sum(sizes) > _CHUNK  # the mega record alone overflows one chunk
+    assert max(sizes) <= _CHUNK
+
+    # 2. end-to-end through Spark at two Arrow batch sizes: identical output
+    def tagged_hash(max_records: int) -> tuple:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(max_records))
+        try:
+            df = parse_src(spark.createDataFrame(rows, schema=SRC_SCHEMA))
+            agg = df.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.expr(
+                    "bit_xor(xxhash64(" + ", ".join(df.columns) + "))"
+                ).alias("content_hash"),
+            ).collect()[0]
+            return agg["rows"], agg["content_hash"]
+        finally:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+
+    small, big = tagged_hash(2), tagged_hash(10_000)
+    assert small == big
+    assert small[0] > 10_000  # the mega outline really expanded
+
+
 def test_work_admin_propagates_to_etext(spark, tmp_path):
     """J13: the work's archiveInfo access overrides the IE instance's
     default adm:access (work W9X5 is restrictedSealed; etext UT9X9

@@ -1,6 +1,6 @@
 """Vectorized parse stage: src table -> tagged output rows (stage 1).
 
-One Arrow-batched mapInPandas pass replaces the reference's per-type
+One Arrow-native mapInArrow pass replaces the reference's per-type
 sequential migrators (MigrationApp.migrateType:572-638).  Each input
 record is record-local (SURVEY.md §3.2), so the stage is embarrassingly
 parallel; mega-records (outlines emitting 1e4+ triples) are bounded by
@@ -35,56 +35,91 @@ _CHUNK = 20000
 _REPO_PATH = __file__.rsplit("/xmltoldmigration_spark/", 1)[0]
 
 
+_COLS = list(PARSED_SCHEMA.replace(" string", "").split(", "))
+
+
+def _parse_record(path: str, content, out: list) -> None:
+    """Parse ONE record into tagged output tuples appended to `out`.
+
+    `content` may be str or bytes — ElementTree accepts both, and the
+    Arrow path hands in a zero-decode bytes view of the record."""
+    from xmltoldmigration_spark.kg.common import Ctx
+    from xmltoldmigration_spark.kg.migrators import migrate_record
+    from xmltoldmigration_spark.sources.corpus import rtype_from_path
+
+    rid = path.rsplit("/", 1)[-1].removesuffix(".xml")
+    ctx = Ctx(app_mode=True, src_path=path)
+    try:
+        rtype = rtype_from_path(path)
+        emitters = migrate_record(rtype, content, ctx)
+    except Exception as e:  # record-level failure -> error row
+        out.append(("error", rid, rid, "parse", None, f"{type(e).__name__}: {e}", None, None))
+        return
+    # status was captured during migrate_record — no second parse
+    out.append(("status", rid, rid, None, None, ctx.result.status, None, None))
+    for em in emitters:
+        for (g, s, p, k, v, lang, dt) in em.rows():
+            out.append(("triple", g, s, p, k, v, lang, dt))
+    for (dest, prop, src) in ctx.result.symmetric:
+        out.append(("symmetric", dest, dest, prop, None, src, None, None))
+    for (etype, erid, sub, prop, msg) in ctx.result.errors:
+        out.append(("error", erid, sub, etype + ":" + (prop or ""), None, msg, None, None))
+    for (src, prop, dst) in ctx.result.links:
+        out.append(("link", rid, src, prop, None, dst, None, None))
+    for (kind, payload) in ctx.result.contents:
+        if kind == "ridReplacement":
+            old, _, new = payload.partition(",")
+            out.append(("redirect", rid, old, None, None, new, None, None))
+        else:
+            out.append(("content", rid, kind, None, None, payload, None, None))
+
+
 def _parse_batches(batches):
+    """Arrow-native batch iterator: pa.RecordBatch in -> pa.RecordBatch out.
+
+    Bandwidth discipline (the 32-wide wall is memory-bound, BENCH.md):
+    - record XML stays in the incoming Arrow buffer until ElementTree
+      needs it — the string column is viewed as binary (zero-copy cast)
+      and each record materializes ONE bytes object at a time, parsed and
+      freed before the next, instead of the old mapInPandas shape where
+      the whole batch's contents became resident Python strings inside a
+      pandas object block (plus a utf-8 decode pass per record);
+    - output rows build Arrow string arrays directly (one zip pass over
+      the tuple list -> pa.array), skipping the tuple-list -> pandas
+      object DataFrame -> Arrow re-conversion round trip.
+    """
     # executor-side workers don't inherit the driver's sys.path mutations;
-    # mapInPandas closures are cloudpickled by value, so this nested-module
+    # mapInArrow closures are cloudpickled by value, so this nested-module
     # import pattern keeps the package importable on any worker
     import sys
 
     if _REPO_PATH not in sys.path:
         sys.path.insert(0, _REPO_PATH)
-    import pandas as pd
+    import pyarrow as pa
 
-    from xmltoldmigration_spark.kg.common import Ctx
-    from xmltoldmigration_spark.kg.migrators import migrate_record
-    from xmltoldmigration_spark.sources.corpus import rtype_from_path
-
-    cols = list(PARSED_SCHEMA.replace(" string", "").split(", "))
     out: list[tuple] = []
 
     def flush():
+        # slice into <=_CHUNK batches: a mega-record (outline with 1e4-1e5
+        # nodes, SURVEY §7.3) can emit more rows than _CHUNK from a single
+        # record, and one oversized Arrow batch is exactly the per-batch
+        # memory spike the chunking exists to prevent
         nonlocal out
-        if out:
-            yield pd.DataFrame(out, columns=cols)
-            out = []
+        while out:
+            chunk, out = out[:_CHUNK], out[_CHUNK:]
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(col, type=pa.string()) for col in zip(*chunk)], names=_COLS
+            )
 
-    for pdf in batches:
-        for path, content in zip(pdf["path"], pdf["content"]):
-            rid = path.rsplit("/", 1)[-1].removesuffix(".xml")
-            ctx = Ctx(app_mode=True, src_path=path)
-            try:
-                rtype = rtype_from_path(path)
-                emitters = migrate_record(rtype, content, ctx)
-            except Exception as e:  # record-level failure -> error row
-                out.append(("error", rid, rid, "parse", None, f"{type(e).__name__}: {e}", None, None))
-                continue
-            # status was captured during migrate_record — no second parse
-            out.append(("status", rid, rid, None, None, ctx.result.status, None, None))
-            for em in emitters:
-                for (g, s, p, k, v, lang, dt) in em.rows():
-                    out.append(("triple", g, s, p, k, v, lang, dt))
-            for (dest, prop, src) in ctx.result.symmetric:
-                out.append(("symmetric", dest, dest, prop, None, src, None, None))
-            for (etype, erid, sub, prop, msg) in ctx.result.errors:
-                out.append(("error", erid, sub, etype + ":" + (prop or ""), None, msg, None, None))
-            for (src, prop, dst) in ctx.result.links:
-                out.append(("link", rid, src, prop, None, dst, None, None))
-            for (kind, payload) in ctx.result.contents:
-                if kind == "ridReplacement":
-                    old, _, new = payload.partition(",")
-                    out.append(("redirect", rid, old, None, None, new, None, None))
-                else:
-                    out.append(("content", rid, kind, None, None, payload, None, None))
+    for rb in batches:
+        paths = rb.column(0)
+        contents = rb.column(1)
+        if pa.types.is_string(contents.type):
+            contents = contents.cast(pa.binary())  # zero-copy view
+        elif pa.types.is_large_string(contents.type):
+            contents = contents.cast(pa.large_binary())
+        for i in range(rb.num_rows):
+            _parse_record(paths[i].as_py(), contents[i].as_py(), out)
             if len(out) >= _CHUNK:
                 yield from flush()
     yield from flush()
@@ -103,7 +138,7 @@ def parse_src(src: DataFrame) -> DataFrame:
 
         return _parse_batches(batches)
 
-    return src.select("path", "content").mapInPandas(run, schema=PARSED_SCHEMA)
+    return src.select("path", "content").mapInArrow(run, schema=PARSED_SCHEMA)
 
 
 def split_streams(parsed: DataFrame) -> dict[str, DataFrame]:
