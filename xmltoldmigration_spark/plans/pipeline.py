@@ -9,7 +9,7 @@ resumability), because every stage is a pure function of the previous
 stage's parquet + the deterministic authority tables.
 
 Scale notes (100 TB / 1000 executors):
-- stage 1 (parse) is shuffle-free mapInPandas over the Iceberg scan;
+- stage 1 (parse) is shuffle-free mapInArrow over the Iceberg scan;
   partition pruning on record type comes free from the `path` predicate.
 - stages 2-4 shuffle only the narrow columns they join on; all authority
   joins are broadcast (< 100 MB side).

@@ -107,6 +107,7 @@ def stream_stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFram
     table through the stateful operator; final per-session aggregates
     equal the oracle-checked batch twin (asserted by
     tests/test_streaming_incremental.py)."""
+    import os
     import shutil
     import tempfile
     import uuid
@@ -114,10 +115,21 @@ def stream_stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFram
     from xmltoldmigration_spark.streaming.stateful import sessionize_stream
 
     ev = load_table(spark, sf_dir, "events")
-    d = tempfile.mkdtemp(prefix="sess_stream_")
-    ev.coalesce(2).write.mode("overwrite").parquet(d)
     name = "sess_updates_" + uuid.uuid4().hex[:8]
-    stream = spark.readStream.schema(ev.schema).parquet(d)
+    # stream straight off the source table — no staging copy.  The
+    # testdata layout ships each table as a single FILE `events.parquet`,
+    # and a streaming file source needs a directory basePath, so stream
+    # the parent dir with a glob pinned to that one file; a directory-
+    # layout table (the cluster case) streams directly.
+    src_path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(src_path):
+        stream = spark.readStream.schema(ev.schema).parquet(src_path)
+    else:
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     # AQE is force-disabled for stateful workloads, so the session's
     # static shuffle width becomes the state-store instance count — at
     # sf-scale inputs the per-instance maintenance dominates the actual
@@ -165,5 +177,4 @@ def stream_stateful_sessionization(spark: SparkSession, sf_dir: str) -> DataFram
         spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
         if ck:
             shutil.rmtree(ck, ignore_errors=True)
-    shutil.rmtree(d, ignore_errors=True)
     return out
