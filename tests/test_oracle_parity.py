@@ -106,3 +106,60 @@ def test_entry_smoke(spark):
     # every oracle key must exist in queries()
     q, o = e.queries(), e.oracle_sql()
     assert set(o).issubset(set(q))
+
+
+def test_hashed_shingles_equal_string_shingles(spark):
+    """The dedup pipeline carries shingles as xxhash64 longs; that is only
+    oracle-equivalent if jaccard over hashed-shingle sets equals jaccard
+    over the joined-string sets for every doc pair.  Pin it on a crafted
+    corpus that exercises repeats, multi-space runs, <3-token docs, and
+    token-boundary-shift lookalikes ("a b"+"c" vs "a"+"b c" can't occur —
+    tokens are whitespace-split — but near-identical docs can)."""
+    from pyspark.sql import functions as F
+
+    from xmltoldmigration_spark.queries.dedup import _SHINGLES_EXPR
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the  quick   brown fox jumps over the lazy dog"),  # same tokens
+        (3, "the quick brown fox leaps over the lazy dog"),
+        (4, "one two"),  # <3 tokens: no shingles
+        (5, "x y z x y z x y z"),  # repeated shingles collapse via distinct
+        (6, "completely different text with no overlap at all here"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+    toks = docs.select(
+        "doc_id", F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("toks")
+    )
+    string_expr = """
+    CASE WHEN size(toks) >= 3 THEN
+      transform(sequence(0, size(toks) - 3),
+                j -> concat_ws(' ', toks[j], toks[j+1], toks[j+2]))
+    ELSE array() END
+    """
+
+    def jaccards(expr):
+        sh = toks.select(
+            "doc_id", F.explode(F.expr(expr)).alias("shingle")
+        ).distinct()
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        a = sh.select(F.col("doc_id").alias("a"), F.col("shingle").alias("s"))
+        b = sh.select(F.col("doc_id").alias("b"), F.col("shingle").alias("s"))
+        inter = (
+            a.join(b, ["s"])
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
+        rows = (
+            inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+            .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+            .select("a", "b", (F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))).alias("j"))
+            .collect()
+        )
+        return {(r["a"], r["b"]): r["j"] for r in rows}
+
+    j_str, j_hash = jaccards(string_expr), jaccards(_SHINGLES_EXPR)
+    assert j_str == j_hash
+    assert (1, 2) in j_str and j_str[(1, 2)] == 1.0  # whitespace runs collapse
+    assert all(v <= 1.0 for v in j_str.values())
