@@ -558,11 +558,12 @@ def test_lsh_bucket_topk_recall(spark):
 
 def test_lsh_or_amplified_recall_floor(spark):
     """OR-amplification contract (the 100 TB recall lever): the shipped
-    ann_lsh_bucketed config (32 tables x 12 planes, Hamming-1 probe)
-    must reach recall >= 0.5 vs brute force while scanning <= 15% of the
+    ann_lsh_bucketed config (112 tables x 14 planes, Hamming-1 probe)
+    must reach recall >= 0.6 vs brute force while scanning <= 15% of the
     query-corpus pairs — measured on the structure-free sf0.01
     embeddings, where single-table multi-probe topped out at 0.33 for
-    14.5% scan.  Deterministic: fixed md5-seeded planes, fixed data."""
+    14.5% scan and the round-4 32x12 config at 0.52 for 12.7%.
+    Deterministic: fixed md5-seeded planes, fixed data."""
     from xmltoldmigration_spark.operators.similarity import (
         brute_force_topk,
         lsh_bucket_topk,
@@ -573,7 +574,7 @@ def test_lsh_or_amplified_recall_floor(spark):
     n_corpus = emb.count()
     qs = emb.filter(F.col("vec_id") < 10)
     nq = qs.count()
-    cfg = dict(n_planes=12, n_flip=1, n_tables=32)
+    cfg = dict(n_planes=14, n_flip=1, n_tables=112)
     n_cand = lsh_candidates(emb, qs, **cfg).count()
     scan = n_cand / ((n_corpus - 1) * nq)
     bf = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb, qs, k=5).collect()}
@@ -582,4 +583,4 @@ def test_lsh_or_amplified_recall_floor(spark):
     recall = len(got & bf) / len(bf)
     print(f"or-amplified lsh: recall@5={recall:.3f} scan={scan:.3f}")
     assert scan <= 0.15
-    assert recall >= 0.5
+    assert recall >= 0.6

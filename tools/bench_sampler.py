@@ -1,0 +1,71 @@
+"""Window-aware bench sampler.
+
+This sandbox VM's effective CPU/memory bandwidth swings by orders of
+magnitude with hypervisor load (see BENCH.md "Measurement discipline").
+Rather than benching blind, probe the two controls cheaply every few
+minutes and run the full `bench.py` only when the window is clean
+(scalar control near its observed floor AND the parallel memory-stream
+control below the threshold).  Every attempt is appended to a JSONL log
+so the best bracketed run can be recorded in BENCH.md with its window.
+
+Usage: python tools/bench_sampler.py [max_runs] [max_minutes]
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from tools.cpu_control import parallel, single  # noqa: E402
+
+LOG = REPO / ".bench_samples.jsonl"
+CPU_CLEAN_S = 0.18  # observed session floor ~0.14-0.16
+MEM_CLEAN_S = 1.0  # 8-stream small-probe mean; floor ~0.1, degraded >4
+
+
+def probe() -> dict:
+    return {
+        "ts": time.time(),
+        "ctl_cpu": single(),
+        "ctl_mem8": parallel(8, mem=True, small=True)["mean"],
+    }
+
+
+def main() -> None:
+    max_runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    max_minutes = float(sys.argv[2]) if len(sys.argv) > 2 else 180
+    deadline = time.time() + max_minutes * 60
+    runs = 0
+    while runs < max_runs and time.time() < deadline:
+        p = probe()
+        clean = p["ctl_cpu"] <= CPU_CLEAN_S and p["ctl_mem8"] <= MEM_CLEAN_S
+        p["clean"] = clean
+        if clean:
+            out = subprocess.run(
+                [sys.executable, str(REPO / "bench.py")],
+                capture_output=True,
+                text=True,
+                cwd=str(REPO),
+                timeout=1800,
+            )
+            line = out.stdout.strip().splitlines()[-1] if out.stdout.strip() else ""
+            try:
+                p["bench"] = json.loads(line)
+            except (json.JSONDecodeError, IndexError):
+                p["bench_error"] = (out.stderr or "no output")[-500:]
+            runs += 1
+        with LOG.open("a") as f:
+            f.write(json.dumps(p) + "\n")
+        print(json.dumps({k: p[k] for k in ("ctl_cpu", "ctl_mem8", "clean")}), flush=True)
+        if runs < max_runs:
+            time.sleep(180 if not clean else 60)
+
+
+if __name__ == "__main__":
+    main()

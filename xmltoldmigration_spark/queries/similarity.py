@@ -42,13 +42,17 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="training-data similarity: random-hyperplane LSH bucketed ANN (scale path)",
 )
 def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # OR-amplified construction: 32 independent 12-plane tables +
-    # Hamming-1 multi-probe — recall 0.52 vs brute force at a 12.7% scan
-    # fraction on the structure-free sf0.01 embeddings (the hard case;
-    # single-table multi-probe topped out at 0.33 for 14.5% scan).
+    # OR-amplified construction: 112 independent 14-plane tables +
+    # Hamming-1 multi-probe — recall 0.72 @ 14.1% scan at sf0.01 / 0.68 @
+    # 13.4% at sf0.1 vs brute force on the structure-free embeddings (the
+    # hard case; single-table multi-probe topped out at 0.33 for 14.5%
+    # scan, and the round-4 32x12 config at 0.52 for 12.7%).  Chosen from
+    # a measured (planes, tables, flip) sweep along the scan<=15% frontier;
+    # the extra tables cost index storage (112 bucket entries per vector),
+    # not scan compute, and all 112x14 projections run in ONE Arrow GEMM.
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    return lsh_bucket_topk(emb, queries, k=K, n_planes=12, n_flip=1, n_tables=32)
+    return lsh_bucket_topk(emb, queries, k=K, n_planes=14, n_flip=1, n_tables=112)
 
 
 @register(
