@@ -25,8 +25,8 @@ sys.path.insert(0, str(REPO))
 from tools.cpu_control import parallel, single  # noqa: E402
 
 LOG = REPO / ".bench_samples.jsonl"
-CPU_CLEAN_S = 0.18  # observed session floor ~0.14-0.16
-MEM_CLEAN_S = 1.0  # 8-stream small-probe mean; floor ~0.1, degraded >4
+CPU_CLEAN_S = 0.20  # observed session floor ~0.14-0.16
+MEM_CLEAN_S = 3.5  # 8-stream small-probe mean; floor ~0.1, collapse >5
 
 
 def probe() -> dict:
