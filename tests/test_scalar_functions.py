@@ -136,3 +136,28 @@ def test_image_list_encode_roundtrip():
     assert decoded["49050001.tif"] == 1
     assert decoded["49050006.tif"] == 6
     assert decoded["49050010.tif"] == 10
+
+
+def test_plan_audit_parser():
+    """tools/plan_audit.py fact extraction over both plan text shapes
+    (explain('formatted') blocks and executedPlan().toString() one-line
+    FileScan entries)."""
+    from tools.plan_audit import audit_plan
+
+    plan = (
+        "AdaptiveSparkPlan\n"
+        "+- Exchange hashpartitioning(src#1L, 256), ENSURE_REQUIREMENTS\n"
+        "   +- BroadcastNestedLoopJoin Inner BuildRight\n"
+        "      +- BroadcastExchange IdentityBroadcastMode\n"
+        "      +- FileScan parquet [a#0L,b#1L] Batched: true, "
+        "Location: InMemoryFileIndex(1 paths)[file:/data/lineitem.parquet], "
+        "PartitionFilters: [], PushedFilters: [IsNotNull(a)], "
+        "ReadSchema: struct<a:bigint,b:bigint>\n"
+    )
+    facts = audit_plan(plan)
+    assert facts["shuffle_exchanges"] == 1
+    assert facts["broadcast_exchanges"] == 1
+    assert facts["bnlj"] == 1
+    assert facts["cartesian"] == 0
+    assert facts["pushed_filters"] == 1
+    assert facts["scans"] == [{"file": "lineitem.parquet", "read_cols": 2}]

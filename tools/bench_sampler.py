@@ -26,7 +26,7 @@ from tools.cpu_control import parallel, single  # noqa: E402
 
 LOG = REPO / ".bench_samples.jsonl"
 CPU_CLEAN_S = 0.20  # observed session floor ~0.14-0.16
-MEM_CLEAN_S = 3.5  # 8-stream small-probe mean; floor ~0.1, collapse >5
+MEM_CLEAN_S = 5.0  # 8-stream small-probe mean; floor ~0.1, collapse >7; this host sits at 4-5 for hours
 
 
 def probe() -> dict:
