@@ -163,3 +163,27 @@ def test_hashed_shingles_equal_string_shingles(spark):
     assert j_str == j_hash
     assert (1, 2) in j_str and j_str[(1, 2)] == 1.0  # whitespace runs collapse
     assert all(v <= 1.0 for v in j_str.values())
+
+
+def test_no_quadratic_joins_in_any_plan(spark):
+    """Scale gate: no registry query may plan a CartesianProduct, and
+    BroadcastNestedLoopJoin is allowed only where the build side is a
+    literal prop-inverse dim (tools/plan_audit.py allowlist).  Plans are
+    compiled at sf0.001 — join strategy shape doesn't depend on sf, and
+    a strategy flip (e.g. a lost equi-join condition turning a join
+    quadratic) fails here before it ships."""
+    from tools.plan_audit import _BNLJ_OK, _SKIP, audit_plan
+    from xmltoldmigration_spark.queries import registry
+
+    sf = "/root/testdata/sf0.001"
+    bad = []
+    for name, spec in sorted(registry().items()):
+        if name in _SKIP:
+            continue
+        plan = spec.fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        facts = audit_plan(plan)
+        if facts["cartesian"]:
+            bad.append(f"{name}: CartesianProduct")
+        if facts["bnlj"] and name not in _BNLJ_OK:
+            bad.append(f"{name}: BroadcastNestedLoopJoin outside allowlist")
+    assert not bad, bad
