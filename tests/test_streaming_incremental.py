@@ -147,3 +147,97 @@ def test_windowed_counts_matches_batch(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(want) > 50
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving the production group fn."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _batch_sessionize(events, gap_s=1800):
+    """Pure-Python oracle: events = [(epoch, event_id)] for ONE user ->
+    {session_id: (n_events, first_event)} with sessions numbered 1..k in
+    (epoch, event_id) order, split on gap > gap_s."""
+    out = {}
+    sid, last = 0, None
+    for ep, eid in sorted(events):
+        if last is None or ep - last > gap_s:
+            sid += 1
+            out[sid] = [0, eid]
+        out[sid][0] += 1
+        out[sid][1] = min(out[sid][1], eid)
+        last = ep
+    return {k: tuple(v) for k, v in out.items()}
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50_000), st.integers(0, 1_000_000)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[1],
+    ),
+    st.data(),
+)
+def test_stateful_sessionizer_split_invariant(events, data):
+    """The production applyInPandasWithState group function must produce
+    the same final per-session aggregates as the batch oracle no matter
+    where the stream is cut into micro-batches (update-mode consumers
+    keep the LAST row per (user, session): n_events only grows and
+    first_event only shrinks within a session)."""
+    import numpy as np
+    import pandas as pd
+
+    from xmltoldmigration_spark.streaming.stateful import make_sessionize_group
+
+    fn = make_sessionize_group(1800)
+    ordered = sorted(events)  # stream arrival order = event-time order
+    n_cuts = data.draw(st.integers(0, min(4, len(ordered))))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(1, len(ordered)), min_size=n_cuts, max_size=n_cuts
+            )
+        )
+    )
+    batches, prev = [], 0
+    for c in cuts + [len(ordered)]:
+        if c > prev:
+            batches.append(ordered[prev:c])
+            prev = c
+
+    state = _FakeState()
+    final = {}
+    for batch in batches:
+        pdf = pd.DataFrame(
+            {
+                "ts": np.array([e[0] for e in batch], dtype="int64").astype(
+                    "datetime64[s]"
+                ),
+                "event_id": np.array([e[1] for e in batch], dtype="int64"),
+            }
+        )
+        for out in fn((7,), iter([pdf]), state):
+            for r in out.itertuples(index=False):
+                assert r.user_id == 7
+                final[int(r.session_id)] = (int(r.n_events), int(r.first_event))
+
+    assert final == _batch_sessionize(events)

@@ -38,12 +38,15 @@ STATE_SCHEMA = (
 )
 
 
-def sessionize_stream(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
-    """events stream -> per-session aggregates (update semantics).
+def make_sessionize_group(gap_s: int = SESSION_GAP_S):
+    """Build the applyInPandasWithState group function.
 
-    The group function is a closure (cloudpickled by value) so executor
-    python workers need no importable copy of this package — the same
-    worker-bootstrap pattern as kg/parse.py.
+    Exposed as a factory so tests can drive the exact production
+    function across arbitrary micro-batch splits with a fake GroupState
+    (tests/test_streaming_incremental.py split-invariance property).
+    The returned function is still a CLOSURE (cloudpickled by value), so
+    executor python workers need no importable copy of this package —
+    the same worker-bootstrap pattern as kg/parse.py.
     """
 
     def sessionize_group(key, pdf_iter, state):
@@ -103,11 +106,16 @@ def sessionize_stream(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFram
             }
         )
 
+    return sessionize_group
+
+
+def sessionize_stream(events: DataFrame, gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """events stream -> per-session aggregates (update semantics)."""
     return (
         events.select("user_id", "event_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
-            sessionize_group,
+            make_sessionize_group(gap_s),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
